@@ -1,0 +1,58 @@
+"""Engine constants, mirroring the reference configuration.
+
+Reference: /root/reference/utils/config.py (INDEXER_CONFIG) and
+/root/reference/search_engine/indexer/indexer.py:49-56.
+"""
+
+from __future__ import annotations
+
+# --- BM25 parameters (indexer.py:49-52; k3=8.0 is defined there but never
+# used by any code path, so it is intentionally omitted here) ---
+K1: float = 1.2
+B: float = 0.75
+
+# --- Field boosts (utils/config.py:84-85 override indexer.py:55-56 defaults) ---
+TITLE_BOOST: float = 5.0
+META_BOOST: float = 3.0
+CONTENT_WEIGHT: float = 1.0
+
+# --- Token filtering (utils/config.py:81-82) ---
+MIN_TOKEN_LENGTH: int = 2
+MAX_TOKEN_LENGTH: int = 20
+
+# --- Query-time constants ---
+# Exact-query-term importance multiplier (indexer.py:391)
+ORIGINAL_TERM_IMPORTANCE: float = 1.8
+# Post-normalization relevance threshold (indexer.py:332)
+MIN_SCORE_THRESHOLD: float = 0.05
+# Phrase / field-match boost chain (indexer.py:405-441)
+TITLE_PHRASE_BOOST: float = 1.8
+DESC_PHRASE_BOOST: float = 1.5
+SNIPPET_PHRASE_BOOST: float = 1.3
+TITLE_MATCH_BOOST: float = 2.0
+DESC_MATCH_BOOST: float = 1.0
+PROXIMITY_BOOST: float = 1.25
+
+# --- Snippet (indexer.py:141, indexer.py:344-374) ---
+SNIPPET_LENGTH: int = 200
+SNIPPET_WINDOW_STEP: int = 20
+
+# --- Default stopword set: the 40-word fallback materialized by
+# build_index.py:40-45 == text_processing.py:35-38 ---
+DEFAULT_STOPWORDS: frozenset[str] = frozenset({
+    "a", "an", "the", "and", "or", "but", "if", "because", "as", "what",
+    "when", "where", "how", "who", "which", "this", "that", "these", "those",
+    "is", "are", "was", "were", "be", "been", "being", "have", "has", "had",
+    "do", "does", "did", "for", "of", "on", "in", "to", "from", "with",
+})
+
+# --- Index layout knobs (engine-side; no reference analog — the reference
+# is single-process and keeps everything in RAM) ---
+# Salting factor for head-term posting aggregation (Zipf skew). Postings for a
+# term are first grouped by (term, salt) then merged; property-tested S=1 ≡ S=16.
+DEFAULT_SALT_BUCKETS: int = 16
+# Posting block size for the delta-gap+varint codec (docs per block); each
+# block carries (max_tf, max_doc_id) metadata for block-max WAND.
+POSTING_BLOCK_SIZE: int = 128
+# Default shuffle partitions for local test sessions.
+DEFAULT_SHUFFLE_PARTITIONS: int = 32

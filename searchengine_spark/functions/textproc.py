@@ -1,0 +1,206 @@
+"""Pure text-processing functions (the reference-semantics contract).
+
+Each function replicates one reference routine exactly (citations are
+``file:line`` into /root/reference). These pure functions are shared by:
+
+  * the Arrow pandas UDFs (:mod:`searchengine_spark.functions.udfs`) that run
+    distributed inside Spark, and
+  * the single-process test oracle (:mod:`searchengine_spark.oracle`),
+
+which is what makes per-row byte-identity testable.
+
+The reference tokenizes with NLTK ``word_tokenize`` + ``PorterStemmer``
+(``text_processing.py:63-74``). NLTK is not available in this environment;
+however, by the time ``word_tokenize`` runs, the reference has already
+replaced every non-``[\\w\\s-]`` character and every hyphen with spaces
+(``text_processing.py:51-60``), so the input contains only word characters
+and whitespace — on that alphabet ``word_tokenize`` degenerates to a
+whitespace split, which is what we implement. Stemming uses the pure-Python
+Porter implementation in :mod:`searchengine_spark.functions.porter`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import html as _htmllib
+import re
+from typing import Iterable
+
+from searchengine_spark.config import (
+    DEFAULT_STOPWORDS,
+    MAX_TOKEN_LENGTH,
+    MIN_TOKEN_LENGTH,
+    SNIPPET_LENGTH,
+    SNIPPET_WINDOW_STEP,
+)
+from searchengine_spark.functions.porter import stem
+
+# --- regexes, compiled once (identical patterns to the reference) ---
+_RE_TAG = re.compile(r"<[^>]+>")  # text_processing.py:88
+_RE_WS = re.compile(r"\s+")  # text_processing.py:91
+_RE_ENTITY = re.compile(r"&\w+;")  # text_processing.py:51
+_RE_URL = re.compile(r"https?://\S+")  # text_processing.py:54
+_RE_NONWORD = re.compile(r"[^\w\s-]")  # text_processing.py:57
+_RE_TITLE = re.compile(r"<title[^>]*>(.*?)</title>", re.IGNORECASE | re.DOTALL)
+_RE_META1 = re.compile(r'<meta[^>]*name="description"[^>]*content="([^"]*)"', re.IGNORECASE)
+_RE_META2 = re.compile(r'<meta[^>]*content="([^"]*)"[^>]*name="description"', re.IGNORECASE)
+_RE_DOMAIN = re.compile(r"https?://(?:www\.)?([^/]+)")
+# Elements whose entire subtree the reference decomposes (crawler.py:287-288)
+_RE_DROP_BLOCKS = re.compile(
+    r"<(script|style|nav|footer|header)\b[^>]*>.*?</\1\s*>",
+    re.IGNORECASE | re.DOTALL,
+)
+_RE_COMMENT = re.compile(r"<!--.*?-->", re.DOTALL)
+
+
+def clean_text(text: str) -> str:
+    """Strip tags and collapse whitespace (text_processing.py:83-93)."""
+    text = _RE_TAG.sub(" ", text)
+    return _RE_WS.sub(" ", text).strip()
+
+
+def extract_text_from_html(html: str) -> str:
+    """HTML → main-content text (crawler.py:284-290 semantics).
+
+    The reference uses BeautifulSoup(lxml): ``decompose()`` of
+    script/style/nav/footer/header subtrees, ``get_text()``, then
+    ``clean_text``. bs4/lxml are not available here, so the same semantics
+    are implemented with regexes; this is exact for the well-formed,
+    non-nested HTML our corpus generator emits (block elements never nest
+    within themselves, tags never split words). Entity decoding mirrors
+    bs4's parse-time unescaping.
+    """
+    text = _RE_COMMENT.sub(" ", html)
+    # iterate: generator never nests same-name blocks, but be safe
+    prev = None
+    while prev != text:
+        prev = text
+        text = _RE_DROP_BLOCKS.sub(" ", text)
+    text = _RE_TAG.sub(" ", text)
+    text = _htmllib.unescape(text)
+    return _RE_WS.sub(" ", text).strip()
+
+
+def extract_title_from_html(html: str) -> str:
+    """text_processing.py:105-112."""
+    m = _RE_TITLE.search(html)
+    return clean_text(m.group(1)) if m else ""
+
+
+def extract_meta_description(html: str) -> str:
+    """text_processing.py:114-125 (both attribute orders)."""
+    m = _RE_META1.search(html) or _RE_META2.search(html)
+    return clean_text(m.group(1)) if m else ""
+
+
+def extract_domain(url: str) -> str:
+    """text_processing.py:95-103."""
+    m = _RE_DOMAIN.search(url)
+    return m.group(1) if m else ""
+
+
+def tokenize(text: str) -> list[str]:
+    """Lowercase → strip entities/URLs/punct/hyphens → split → Porter stem →
+    drop len<=1 (text_processing.py:40-81, NLTK path)."""
+    if not text:
+        return []
+    text = text.lower()
+    text = _RE_ENTITY.sub(" ", text)
+    text = _RE_URL.sub(" ", text)
+    text = _RE_NONWORD.sub(" ", text)
+    text = text.replace("-", " ")
+    tokens = [stem(t) for t in text.split()]
+    return [t for t in tokens if len(t) > 1]
+
+
+def tokenize_simple(text: str) -> list[str]:
+    """SQL-expressible tokenizer variant (no stemming) used by the
+    DuckDB-checkable ``__spark_entry__`` queries: lowercase, split on
+    non-alphanumeric runs, keep 2..20-char non-stopword tokens.
+
+    Equivalent SQL (DuckDB & Spark SQL):
+    ``regexp_split_to_array(lower(text), '[^a-z0-9]+')`` + length/stopword
+    filter. Kept deliberately simple so the oracle is exactly expressible.
+    """
+    if not text:
+        return []
+    out = []
+    for t in re.split(r"[^a-z0-9]+", text.lower()):
+        if MIN_TOKEN_LENGTH <= len(t) <= MAX_TOKEN_LENGTH and t not in DEFAULT_STOPWORDS:
+            out.append(t)
+    return out
+
+
+def filter_tokens(tokens: Iterable[str], stopwords: frozenset[str] | set[str] = DEFAULT_STOPWORDS) -> list[str]:
+    """Stopword + length bound filter (indexer.py:73-90 / :300-305)."""
+    return [
+        t
+        for t in tokens
+        if t not in stopwords and MIN_TOKEN_LENGTH <= len(t) <= MAX_TOKEN_LENGTH
+    ]
+
+
+def expand_query(query: str) -> str:
+    """Query expansion (text_processing.py:127-161).
+
+    Tokenize each whitespace phrase; append stems not already present (the
+    tokens are already stemmed, so the NLTK branch at :146-153 never adds
+    anything — replicated faithfully); append original phrases of len>1.
+    """
+    query = query.lower().strip()
+    phrases = [p.strip() for p in query.split() if p.strip()]
+    tokens: list[str] = []
+    for phrase in phrases:
+        tokens.extend(tokenize(phrase))
+    expanded = tokens.copy()
+    for token in tokens:
+        s = stem(token)
+        if s != token and s not in expanded:
+            expanded.append(s)
+    for phrase in phrases:
+        if phrase not in expanded and len(phrase) > 1:
+            expanded.append(phrase)
+    return " ".join(expanded)
+
+
+def weighted_tokens(
+    title: str,
+    meta_description: str,
+    content: str,
+    stopwords: frozenset[str] | set[str] = DEFAULT_STOPWORDS,
+    title_boost: float = 5.0,
+    meta_boost: float = 3.0,
+) -> dict[str, float]:
+    """Field-weighted term-frequency map (indexer.py:58-107)."""
+    weighted: dict[str, float] = {}
+    for field_text, boost in ((title, title_boost), (meta_description, meta_boost), (content, 1.0)):
+        for tok in filter_tokens(tokenize(field_text), stopwords):
+            weighted[tok] = weighted.get(tok, 0.0) + boost
+    return weighted
+
+
+def doc_id_for_url(url: str) -> str:
+    """md5 hex of url (crawler.py:79-83)."""
+    return hashlib.md5(url.encode()).hexdigest()
+
+
+def make_snippet(content: str) -> str:
+    """Stored content snippet (indexer.py:141): first 200 chars + '...'."""
+    return content[:SNIPPET_LENGTH] + "..." if content else ""
+
+
+def relevant_snippet(content_snippet: str, query_tokens: list[str]) -> str:
+    """Query-relevant snippet windowing (indexer.py:344-374)."""
+    content = content_snippet or ""
+    if not content or not query_tokens:
+        return content
+    content_lower = content.lower()
+    best_start, best_count = 0, 0
+    for i in range(0, len(content) - SNIPPET_LENGTH, SNIPPET_WINDOW_STEP):
+        window = content_lower[i : i + SNIPPET_LENGTH]
+        count = sum(1 for term in query_tokens if term in window)
+        if count > best_count:
+            best_count, best_start = count, i
+    if best_count > 0:
+        return content[best_start : best_start + SNIPPET_LENGTH] + "..."
+    return content[:SNIPPET_LENGTH] + "..." if len(content) > SNIPPET_LENGTH else content
