@@ -1,38 +1,59 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full Porter-stemmed BM25 engine over the
+sf0.001 ``documents`` table, answering a fixed query batch.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator slice
+(SURVEY.md §2), checked by the driver against DuckDB at sf=0.01. The SQL
+mirrors use the simple (SQL-expressible) tokenizer; the full stemmed path is
+rows-only checked here and rank-identity checked in tests/ against the
+reference-semantics oracle.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from searchengine_spark.plans.bm25 import BM25SearchEngine
+    from searchengine_spark.plans.text_only import build_text_only_index
+
+    documents = spark.read.parquet(f"{SF0001}/documents.parquet")
+    tables = build_text_only_index(spark, documents)
+    engine = BM25SearchEngine(spark, tables)
+    # 'dup' is the only discriminative term in the testdata vocabulary (all
+    # others occur in >half the docs → reference IDF clamps to 0, see
+    # plans/entry_queries.py); include it so the flagship returns hits.
+    batch = [
+        (0, "dup fast join"),
+        (1, "dup spark window query"),
+        (2, "slow dup merge sort"),
+    ]
+    res = engine.search_batch(batch, top_k=10)
+    return res.select(
+        "query_id", "rank", "doc_id", "url", "content_snippet",
+        F.round("score", 6).alias("score"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from searchengine_spark.plans.entry_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from searchengine_spark.plans.entry_queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Benchmark harness: prints ONE JSON line with the headline metrics.
+
+Default mode (what the driver runs)::
+
+    python bench.py            # sf dir from $SPARK_GRAFT_SF_DIR (sf0.1),
+                               # cores from $SPARK_GRAFT_CPUS (default 32)
+
+measures, per round:
+  * index_build    — full persisted inverted-index build (stage 1 extract+
+                     tokenize mapInPandas + stage 2 aggregations + writes)
+                     over a deterministic generated web_pages corpus
+                     ($SPARK_GRAFT_BENCH_DOCS docs, default 30000); the
+                     corpus parquet is generated once and cached, so the
+                     measured time is pure indexing (not generation)
+  * query_batch    — the 21-query reference set against that index (one
+                     batched plan), results collected
+  * sf-dir queries — representative entry queries over $SPARK_GRAFT_SF_DIR
+                     (bm25_topk, term_df_top100, minhash_signatures,
+                     embedding_topk)
+
+Scaling mode (evidence for the north rule's N vs 4N criterion)::
+
+    python bench.py --scaling  # runs the SAME index build at local[8] and
+                               # local[32] in subprocesses, reports docs/sec
+                               # at both + efficiency = (dps32/dps8)/4
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "30000"))
+BENCH_DIR = os.environ.get("SPARK_GRAFT_BENCH_DIR", os.path.join(REPO, ".bench"))
+
+
+def _ensure_corpus(spark, n_docs: int) -> str:
+    """Generate the web_pages corpus once; reuse across runs/parallelism."""
+    from searchengine_spark.sources import webgen
+
+    path = os.path.join(BENCH_DIR, f"web_pages_{n_docs}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        webgen.generate_spark(spark, n_docs, partitions=max(CPUS * 2, 16)).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def run_bench(cpus: int = CPUS, n_docs: int = N_DOCS, sf_dir: str = SF_DIR) -> dict:
+    from searchengine_spark.operators import index_build
+    from searchengine_spark.plans import entry_queries
+    from searchengine_spark.plans.bm25 import BM25SearchEngine
+    from searchengine_spark.plans.session import get_spark
+    from searchengine_spark.sources import webgen
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
+    queries: dict[str, float] = {}
+
+    corpus_path = _ensure_corpus(spark, n_docs)
+    index_path = os.path.join(BENCH_DIR, f"index_{n_docs}_c{cpus}")
+
+    t0 = time.time()
+    pages = spark.read.parquet(corpus_path)
+    tables = index_build.build_and_write_index(
+        spark, pages, index_path, postings_partitions=max(cpus, 8)
+    )
+    queries["index_build"] = round(time.time() - t0, 3)
+    docs_per_sec = round(n_docs / queries["index_build"], 1)
+
+    t0 = time.time()
+    engine = BM25SearchEngine(spark, tables)
+    res = engine.search_batch(webgen.reference_queries(), top_k=10)
+    n_results = len(res.collect())
+    queries["query_batch_21"] = round(time.time() - t0, 3)
+
+    for name in ("bm25_topk", "term_df_top100", "minhash_signatures", "embedding_topk"):
+        fn = entry_queries.QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).collect()
+        queries[name] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    return {
+        "metric": "index_build_plus_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "bench_docs": n_docs,
+        "cpus": cpus,
+        "docs_per_sec": docs_per_sec,
+        "query_batch_results": n_results,
+    }
+
+
+def run_scaling(n_docs: int = N_DOCS) -> dict:
+    """Same job at local[8] vs local[32] on the same input → efficiency."""
+    out = {}
+    for cpus in (8, 32):
+        env = dict(os.environ)
+        env["SPARK_GRAFT_CPUS"] = str(cpus)
+        env["SPARK_GRAFT_BENCH_DOCS"] = str(n_docs)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True, text=True, env=env, cwd=REPO,
+        )
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+        out[cpus] = json.loads(line)
+    dps8 = out[8]["docs_per_sec"]
+    dps32 = out[32]["docs_per_sec"]
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round((dps32 / dps8) / 4.0, 3),
+        "unit": "ratio",
+        "docs_per_sec": {"local[8]": dps8, "local[32]": dps32},
+        "index_build_sec": {
+            "local[8]": out[8]["queries"]["index_build"],
+            "local[32]": out[32]["queries"]["index_build"],
+        },
+        "bench_docs": n_docs,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

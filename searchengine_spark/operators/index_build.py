@@ -1,45 +1,74 @@
 """Distributed inverted-index build (the Spark re-expression of
 ``indexer.py:109-167`` + ``_process_document`` ``indexer.py:58-107``).
 
-Dataflow (all JVM-side except the two Arrow UDF crossings)::
+Two physical stages:
 
-    web_pages (url, warc_ts, html, text, lang)
-      → extract_fields UDF (title, meta_description, content)   [Arrow]
-      → tokenize_filtered UDF per field                         [Arrow]
-      → explode(field tokens ⊗ field weight)                    [codegen]
-      → groupBy(doc_id, term).sum(weight)        = tf            [hash agg,
-                                                      map-side partial]
-      → groupBy(doc_id).sum(tf)                  = doc_stats
-      → groupBy(term).count / idf                = term_stats
-      → postings = tf ⋈ doc_len (denormalized)   — doc_len is stored in the
-        posting row so query-time scoring needs NO doc_stats join
-      → avg(doc_len), count                      = stats
+**Stage 1 — extract+tokenize** (``tokenize_documents``): one ``mapInPandas``
+pass over ``web_pages`` does HTML→fields extraction (crawler.py:280-290) and
+per-field tokenization+filtering (text_processing.py:40-81 +
+indexer.py:73-90) in a single Arrow crossing, emitting per-doc token arrays
+plus ``doc_len`` — which is computable *before* any shuffle because it is
+exactly ``5·|title| + 3·|meta| + 1·|content|`` tokens (indexer.py:92-107,
+144-146), so query-time scoring never needs a doc_stats join. The full
+content string is dropped here (only the 200-char snippet survives), which
+bounds row width no matter how large the page is. This stage is
+embarrassingly parallel, and is the checkpoint/resume granularity.
 
-Scale notes (100 TB / 10^12 docs):
-  * The (doc_id, term) aggregation is key-uniform (doc_id is md5 — no skew);
-    partial aggregation keeps the shuffle at ~unique pairs per partition.
-  * The per-term grouping (posting blocks, see operators/codec.py) is
-    Zipf-skewed; it is salted by the leading hex nibble(s) of doc_id, which
-    splits every head term into uniform *lexicographic ranges* so block
-    order is preserved without a per-term global sort.
-  * postings are written repartitioned+sorted by term, so parquet row-group
-    min/max stats give term-range skipping at query time — the distributed
-    analog of the reference's dict lookup (indexer.py:384-394).
+**Stage 2 — aggregate** (``build_index_tables``): all-native Catalyst ops —
+explode(token⊗weight) → groupBy(doc_id, term) partial+final hash agg → tf;
+groupBy(term) → df/idf; scalar stats. The (doc_id, term) key is md5-uniform
+(no skew); the per-term grouping (posting *blocks*, operators/codec.py) is
+Zipf-skewed and handled there by doc_id-prefix salting.
+
+``build_and_write_index`` materializes stage 1 to parquet before the five
+table writes so extraction runs exactly once (and resume can pick up from
+the materialized stage).
+
+Scale notes (100 TB / 10^12 docs): stage 1 is a map-only scan (no shuffle);
+stage 2 shuffles once by (doc_id, term) with map-side combine and once by
+term for term_stats; postings are written repartitioned+sorted by term so
+parquet row-group min/max stats give term-range skipping at query time —
+the distributed analog of the reference's dict lookup (indexer.py:384-394).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from searchengine_spark.config import (
     CONTENT_WEIGHT,
+    DEFAULT_STOPWORDS,
     META_BOOST,
     TITLE_BOOST,
 )
-from searchengine_spark.functions.udfs import extract_fields, tokenize_filtered
+from searchengine_spark.functions import textproc
+from searchengine_spark.functions.udfs import extract_fields
+
+TOKENIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("url", StringType()),
+        StructField("title", StringType()),
+        StructField("description", StringType()),
+        StructField("content_snippet", StringType()),
+        StructField("title_toks", ArrayType(StringType())),
+        StructField("meta_toks", ArrayType(StringType())),
+        StructField("content_toks", ArrayType(StringType())),
+        StructField("doc_len", DoubleType()),
+    ]
+)
 
 
 @dataclass
@@ -48,75 +77,99 @@ class IndexTables:
     (SURVEY.md §1.1)."""
 
     docs: DataFrame  # doc_id, url, title, description, content_snippet
-    postings: DataFrame  # term, doc_id, tf, dl
+    postings: DataFrame  # term, doc_id, tf, doc_len
     doc_stats: DataFrame  # doc_id, doc_len
     term_stats: DataFrame  # term, df, idf
     stats: DataFrame  # n_docs, avgdl
 
 
-def extract_documents(pages: DataFrame, use_precomputed_text: bool = True) -> DataFrame:
-    """web_pages → (doc_id, url, title, meta_description, content).
+def tokenize_documents(
+    pages: DataFrame,
+    use_precomputed_text: bool = True,
+    stopwords: frozenset[str] = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """Stage 1: web_pages → per-doc fields + filtered token arrays + doc_len.
 
-    ``content`` is the reference-extracted text (crawler.py:284-290). When
-    the input table carries the precomputed ``text`` column (input_hint) we
-    use it and only extract title/meta from html; the byte-identity of the
-    UDF extraction vs ``text`` is pytest-asserted separately.
+    One Arrow crossing; pure per row, so output is partitioning-invariant.
     """
-    out = pages.withColumn("doc_id", F.md5(F.col("url"))).withColumn(
-        "_f", extract_fields(F.col("html"))
-    )
-    content = F.col("text") if use_precomputed_text else F.col("_f.content")
-    return out.select(
-        "doc_id",
-        "url",
-        F.col("_f.title").alias("title"),
-        F.col("_f.meta_description").alias("meta_description"),
-        content.alias("content"),
-    )
+    stop = stopwords
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            htmls = pdf["html"].map(
+                lambda b: b.decode("utf-8", errors="replace")
+                if isinstance(b, (bytes, bytearray))
+                else (b or "")
+            )
+            titles, metas, contents = [], [], []
+            for i, html in enumerate(htmls):
+                titles.append(textproc.extract_title_from_html(html))
+                metas.append(textproc.extract_meta_description(html))
+                if use_precomputed_text and "text" in pdf.columns:
+                    contents.append(pdf["text"].iloc[i] or "")
+                else:
+                    contents.append(textproc.extract_text_from_html(html))
+            rows = []
+            for url, title, meta, content in zip(pdf["url"], titles, metas, contents):
+                tt = textproc.filter_tokens(textproc.tokenize(title), stop)
+                mt = textproc.filter_tokens(textproc.tokenize(meta), stop)
+                ct = textproc.filter_tokens(textproc.tokenize(content), stop)
+                rows.append(
+                    (
+                        textproc.doc_id_for_url(url),
+                        url,
+                        title,
+                        meta,
+                        textproc.make_snippet(content),
+                        tt,
+                        mt,
+                        ct,
+                        TITLE_BOOST * len(tt)
+                        + META_BOOST * len(mt)
+                        + CONTENT_WEIGHT * len(ct),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in TOKENIZED_SCHEMA.fields])
+
+    return pages.mapInPandas(process, TOKENIZED_SCHEMA)
 
 
-def term_frequencies(documents: DataFrame) -> DataFrame:
+def term_frequencies(tokenized: DataFrame) -> DataFrame:
     """Field-weighted tf (indexer.py:92-107): one exploded row per token
-    occurrence carrying its field weight, summed per (doc_id, term)."""
-    weighted = documents.select(
+    occurrence carrying its field weight, hash-aggregated per (doc_id, term)
+    with map-side partials. doc_len rides the group key (functionally
+    dependent on doc_id) so postings come out denormalized."""
+    weighted = tokenized.select(
         "doc_id",
+        "doc_len",
         F.explode(
             F.concat(
                 F.transform(
-                    tokenize_filtered(F.col("title")),
-                    lambda t: F.struct(
-                        t.alias("term"), F.lit(TITLE_BOOST).alias("weight")
-                    ),
+                    "title_toks",
+                    lambda t: F.struct(t.alias("term"), F.lit(TITLE_BOOST).alias("weight")),
                 ),
                 F.transform(
-                    tokenize_filtered(F.col("meta_description")),
-                    lambda t: F.struct(
-                        t.alias("term"), F.lit(META_BOOST).alias("weight")
-                    ),
+                    "meta_toks",
+                    lambda t: F.struct(t.alias("term"), F.lit(META_BOOST).alias("weight")),
                 ),
                 F.transform(
-                    tokenize_filtered(F.col("content")),
-                    lambda t: F.struct(
-                        t.alias("term"), F.lit(CONTENT_WEIGHT).alias("weight")
-                    ),
+                    "content_toks",
+                    lambda t: F.struct(t.alias("term"), F.lit(CONTENT_WEIGHT).alias("weight")),
                 ),
             )
         ).alias("tw"),
     )
-    return weighted.groupBy("doc_id", F.col("tw.term").alias("term")).agg(
+    return weighted.groupBy("doc_id", "doc_len", F.col("tw.term").alias("term")).agg(
         F.sum("tw.weight").alias("tf")
     )
 
 
-def build_index(documents: DataFrame) -> IndexTables:
-    """Full logical index build. ``documents`` from :func:`extract_documents`."""
-    tf = term_frequencies(documents)
+def build_index_tables(tokenized: DataFrame) -> IndexTables:
+    """Stage 2: all-native aggregations over the tokenized intermediate."""
+    tf = term_frequencies(tokenized)
 
-    doc_stats = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
-
-    stats = doc_stats.agg(
-        F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
-    )
+    doc_stats = tokenized.select("doc_id", "doc_len")
+    stats = doc_stats.agg(F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl"))
 
     # IDF (indexer.py:386-388): max(0, ln((N - n + 0.5) / (n + 0.5)))
     term_stats = (
@@ -133,26 +186,44 @@ def build_index(documents: DataFrame) -> IndexTables:
         )
     )
 
-    # Denormalize doc_len into the posting row: query-time BM25 then needs
-    # only the postings scan + one small broadcast of query terms.
-    postings = tf.join(doc_stats, "doc_id").select("term", "doc_id", "tf", "doc_len")
-
-    docs = documents.select(
-        "doc_id",
-        "url",
-        "title",
-        F.col("meta_description").alias("description"),
-        # indexer.py:141 snippet: first 200 chars + "..." when content non-empty
-        F.when(
-            F.length("content") > 0, F.concat(F.substring("content", 1, 200), F.lit("..."))
-        )
-        .otherwise(F.lit(""))
-        .alias("content_snippet"),
-    )
+    postings = tf.select("term", "doc_id", "tf", "doc_len")
+    docs = tokenized.select("doc_id", "url", "title", "description", "content_snippet")
 
     return IndexTables(
         docs=docs, postings=postings, doc_stats=doc_stats, term_stats=term_stats, stats=stats
     )
+
+
+# Back-compat aliases used by earlier tests -------------------------------
+def extract_documents(pages: DataFrame, use_precomputed_text: bool = True) -> DataFrame:
+    """web_pages → (doc_id, url, title, meta_description, content) via the
+    struct-returning Arrow UDF. Used by the byte-identity test; the build
+    pipeline itself uses :func:`tokenize_documents` (single crossing)."""
+    out = pages.withColumn("doc_id", F.md5(F.col("url"))).withColumn(
+        "_f", extract_fields(F.col("html"))
+    )
+    content = F.col("text") if use_precomputed_text else F.col("_f.content")
+    return out.select(
+        "doc_id",
+        "url",
+        F.col("_f.title").alias("title"),
+        F.col("_f.meta_description").alias("meta_description"),
+        content.alias("content"),
+    )
+
+
+def build_index(documents_or_pages: DataFrame) -> IndexTables:
+    """Build the logical index directly from a web_pages frame (detects the
+    input shape). Prefer :func:`build_and_write_index` for persisted builds —
+    it materializes stage 1 so extraction runs once across the five writes."""
+    cols = set(documents_or_pages.columns)
+    if {"html", "url"} <= cols:
+        tokenized = tokenize_documents(documents_or_pages)
+    elif {"title_toks", "doc_len"} <= cols:
+        tokenized = documents_or_pages
+    else:
+        raise ValueError(f"unrecognized input columns: {sorted(cols)}")
+    return build_index_tables(tokenized)
 
 
 def write_index(tables: IndexTables, path: str, postings_partitions: int = 32) -> None:
@@ -167,10 +238,32 @@ def write_index(tables: IndexTables, path: str, postings_partitions: int = 32) -
         .parquet(f"{path}/postings")
     )
     tables.doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
-    tables.term_stats.repartition(postings_partitions, "term").sortWithinPartitions(
+    tables.term_stats.repartition(max(1, postings_partitions // 4), "term").sortWithinPartitions(
         "term"
     ).write.mode("overwrite").parquet(f"{path}/term_stats")
     tables.stats.write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def build_and_write_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    path: str,
+    postings_partitions: int = 32,
+    use_precomputed_text: bool = True,
+) -> IndexTables:
+    """Full persisted build: materialize stage 1 once, then derive tables.
+
+    The ``tokenized`` intermediate is itself a table (kept at
+    ``{path}/tokenized``) — it is the resume point for checkpointed builds
+    (operators/checkpoint.py) and the input to posting-block compaction.
+    """
+    tokenize_documents(pages, use_precomputed_text=use_precomputed_text).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/tokenized")
+    tokenized = spark.read.parquet(f"{path}/tokenized")
+    tables = build_index_tables(tokenized)
+    write_index(tables, path, postings_partitions)
+    return read_index(spark, path)
 
 
 def read_index(spark: SparkSession, path: str) -> IndexTables:

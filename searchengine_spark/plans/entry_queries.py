@@ -1,0 +1,440 @@
+"""Driver-contract queries over /root/testdata parquet (``__spark_entry__``).
+
+Each ``q_*`` function takes (spark, sf_dir) and returns a DataFrame; the
+matching SQL string in ``ORACLE_SQL`` computes the same result in DuckDB on
+the same parquet (tables pre-registered as views). Column names and types
+match pairwise; float-order-sensitive values are rounded on BOTH sides.
+
+These use the **simple tokenizer** (lower → split on non-alphanumeric →
+2..20 chars, minus the 40 reference stopwords — textproc.tokenize_simple),
+which is exactly SQL-expressible; the full Porter-stemmed path is covered by
+the pytest oracle (tests/test_index_spark.py) and exposed here as
+rows-only-checked queries (no SQL equivalent of stemming).
+
+The `documents` table (doc_id:int64, text, lang, source, n_chars) is a
+text-only corpus: the reference's title/meta field boosts degenerate to
+content-weight 1.0 (tf = plain token count), per FIXTURES.md §4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from searchengine_spark.config import DEFAULT_STOPWORDS, K1, B
+
+STOP = sorted(DEFAULT_STOPWORDS)
+_STOP_SQL = ", ".join(f"''{s}''" for s in STOP)  # doubled quotes: embedded in SQL below via format
+_STOP_IN = "(" + ", ".join(f"'{s}'" for s in STOP) + ")"
+
+# fixed probe terms present in the testdata vocabulary. NOTE: the testdata
+# corpus has a ~30-word vocabulary where almost every term occurs in >half
+# the docs → the reference IDF clamp max(0, ln((N-n+0.5)/(n+0.5)))
+# (indexer.py:388) zeroes them; 'dup' (df≈25/500) is the only discriminative
+# term, so BM25 probe queries must include it to produce nonzero scores.
+POSTING_TERMS = ["spark", "join", "hash", "vector", "window", "dup"]
+BM25_QUERY_TERMS = ["dup", "fast", "join"]
+_POSTING_IN = "(" + ", ".join(f"'{t}'" for t in POSTING_TERMS) + ")"
+_BM25_IN = "(" + ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS) + ")"
+
+# Shared DuckDB CTEs: simple tokenization (mirror of udfs.tokens_simple_col)
+_TOKS_CTE = f"""
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> length(t) BETWEEN 2 AND 20 AND t NOT IN {_STOP_IN}) AS toks
+  FROM documents
+)"""
+_TERMS_CTE = _TOKS_CTE + """,
+terms AS (SELECT doc_id, unnest(toks) AS term FROM toks)"""
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.functions.udfs import tokens_simple_col
+
+    return _documents(spark, sf_dir).select(
+        "doc_id", tokens_simple_col(F.col("text")).alias("toks")
+    )
+
+
+def _terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _toks(spark, sf_dir).select("doc_id", F.explode("toks").alias("term"))
+
+
+# ---------------------------------------------------------------- A2/A5: doc stats
+def q_doc_token_stats(spark, sf_dir) -> DataFrame:
+    return _toks(spark, sf_dir).select(
+        "doc_id", F.size("toks").cast("long").alias("doc_len")
+    )
+
+
+SQL_DOC_TOKEN_STATS = f"WITH {_TOKS_CTE} SELECT doc_id, CAST(len(toks) AS BIGINT) AS doc_len FROM toks"
+
+
+def q_index_stats(spark, sf_dir) -> DataFrame:
+    return _toks(spark, sf_dir).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.size("toks").cast("double")), 6).alias("avgdl"),
+    )
+
+
+SQL_INDEX_STATS = (
+    f"WITH {_TOKS_CTE} SELECT COUNT(*) AS n_docs, "
+    "ROUND(AVG(CAST(len(toks) AS DOUBLE)), 6) AS avgdl FROM toks"
+)
+
+
+# ---------------------------------------------------------------- A4: document frequency
+def q_term_df_top100(spark, sf_dir) -> DataFrame:
+    return (
+        _terms(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(100)
+    )
+
+
+SQL_TERM_DF_TOP100 = f"""WITH {_TERMS_CTE}
+SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms
+GROUP BY term ORDER BY df DESC, term ASC LIMIT 100"""
+
+
+# ---------------------------------------------------------------- A3: postings
+def q_postings_sample(spark, sf_dir) -> DataFrame:
+    return (
+        _terms(spark, sf_dir)
+        .filter(F.col("term").isin(POSTING_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+
+
+SQL_POSTINGS_SAMPLE = f"""WITH {_TERMS_CTE}
+SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM terms
+WHERE term IN {_POSTING_IN} GROUP BY doc_id, term"""
+
+
+# ---------------------------------------------------------------- A6: IDF
+def q_term_idf(spark, sf_dir) -> DataFrame:
+    docs = _documents(spark, sf_dir)
+    n = docs.agg(F.count("*").alias("n_docs"))
+    df = (
+        _terms(spark, sf_dir)
+        .filter(F.col("term").isin(POSTING_TERMS))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    return df.crossJoin(F.broadcast(n)).select(
+        "term",
+        "df",
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+            ),
+            6,
+        ).alias("idf"),
+    )
+
+
+SQL_TERM_IDF = f"""WITH {_TERMS_CTE},
+dfs AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms
+        WHERE term IN {_POSTING_IN} GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT term, df, ROUND(GREATEST(0.0, LN((n_docs - df + 0.5) / (df + 0.5))), 6) AS idf
+FROM dfs, n"""
+
+
+# ---------------------------------------------------------------- Q2/Q6/Q7: BM25 top-k
+def q_bm25_topk(spark, sf_dir) -> DataFrame:
+    docs = _documents(spark, sf_dir)
+    toks = _toks(spark, sf_dir)
+    n = docs.agg(F.count("*").alias("n_docs"))
+    dl = toks.select("doc_id", F.size("toks").cast("double").alias("doc_len"))
+    avgdl = dl.agg(F.avg("doc_len").alias("avgdl"))
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            F.greatest(
+                F.lit(0.0),
+                F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+            ).alias("idf"),
+        )
+    )
+    scores = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * (F.lit(K1 + 1.0) * F.col("tf"))
+                / (
+                    F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("doc_len") / F.col("avgdl"))
+                    + F.col("tf")
+                )
+            ).alias("contrib"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    mx = scores.agg(F.max("score").alias("mx"))
+    return (
+        scores.crossJoin(F.broadcast(mx))
+        .select(
+            "doc_id",
+            F.when(F.col("mx") > 0, F.col("score") / F.col("mx")).alias("nscore"),
+        )
+        .filter(F.col("nscore") > 0.05)
+        .withColumn("score", F.round("nscore", 6))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score")
+    )
+
+
+SQL_BM25_TOPK = f"""WITH {_TOKS_CTE},
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS doc_len FROM toks),
+avgdl AS (SELECT AVG(doc_len) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+       WHERE term IN {_BM25_IN} GROUP BY doc_id, term),
+idf AS (SELECT term, GREATEST(0.0, LN((n_docs - df + 0.5) / (df + 0.5))) AS idf
+        FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), n),
+scores AS (SELECT tf.doc_id,
+                  SUM(idf.idf * ({K1 + 1.0} * tf.tf)
+                      / ({K1} * ({1.0 - B} + {B} * dl.doc_len / avgdl.avgdl) + tf.tf)) AS score
+           FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), avgdl
+           GROUP BY tf.doc_id)
+SELECT doc_id, score FROM (
+  SELECT doc_id,
+         score / NULLIF((SELECT MAX(score) FROM scores), 0) AS nscore,
+         ROUND(score / NULLIF((SELECT MAX(score) FROM scores), 0), 6) AS score
+  FROM scores)
+WHERE nscore > 0.05
+ORDER BY score DESC, doc_id LIMIT 10"""
+
+
+# ---------------------------------------------------------------- dedup: exact
+def q_dedup_exact(spark, sf_dir) -> DataFrame:
+    d = _documents(spark, sf_dir)
+    return d.agg(
+        F.count("*").alias("n_total"),
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("n_unique"),
+        (F.count("*") - F.countDistinct(F.md5(F.col("text").cast("binary")))).alias(
+            "n_dup_rows"
+        ),
+    )
+
+
+SQL_DEDUP_EXACT = """SELECT COUNT(*) AS n_total,
+COUNT(DISTINCT md5(text)) AS n_unique,
+COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_rows FROM documents"""
+
+
+# ---------------------------------------------------------------- dedup: minhash signatures
+def q_minhash_signatures(spark, sf_dir) -> DataFrame:
+    t = _terms(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("term")).cast("binary"))).alias(f"mh{i}")
+        for i in range(4)
+    ]
+    return t.groupBy("doc_id").agg(*aggs)
+
+
+SQL_MINHASH_SIGNATURES = f"""WITH {_TERMS_CTE}
+SELECT doc_id,
+  MIN(md5('0:' || term)) AS mh0, MIN(md5('1:' || term)) AS mh1,
+  MIN(md5('2:' || term)) AS mh2, MIN(md5('3:' || term)) AS mh3
+FROM terms GROUP BY doc_id"""
+
+
+# ---------------------------------------------------------------- text analysis
+def q_lang_dist(spark, sf_dir) -> DataFrame:
+    return (
+        _documents(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.round(F.avg("n_chars"), 4).alias("avg_chars"))
+    )
+
+
+SQL_LANG_DIST = """SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 4) AS avg_chars
+FROM documents GROUP BY lang"""
+
+
+def q_quality_scores(spark, sf_dir) -> DataFrame:
+    d = _documents(spark, sf_dir)
+    stop = F.array(*[F.lit(s) for s in STOP])
+    raw = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: F.length(t) >= 1)
+    n_tok = F.size(raw).cast("long")
+    n_stop = F.size(F.filter(raw, lambda t: F.array_contains(stop, t))).cast("long")
+    n_distinct = F.size(F.array_distinct(raw)).cast("long")
+    denom = F.when(n_tok > 0, n_tok.cast("double"))
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        F.round(n_stop.cast("double") / denom, 6).alias("stopword_ratio"),
+        F.round(n_distinct.cast("double") / denom, 6).alias("distinct_ratio"),
+    )
+
+
+SQL_QUALITY_SCORES = f"""WITH raw AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> length(t) >= 1) AS raw
+  FROM documents)
+SELECT doc_id,
+  CAST(len(raw) AS BIGINT) AS n_tokens,
+  CAST(len(list_filter(raw, t -> t IN {_STOP_IN})) AS BIGINT) AS n_stopwords,
+  ROUND(CAST(len(list_filter(raw, t -> t IN {_STOP_IN})) AS DOUBLE)
+        / NULLIF(len(raw), 0), 6) AS stopword_ratio,
+  ROUND(CAST(len(list_distinct(raw)) AS DOUBLE) / NULLIF(len(raw), 0), 6) AS distinct_ratio
+FROM raw"""
+
+
+# ---------------------------------------------------------------- near-dup: n-gram jaccard
+def q_jaccard_adjacent(spark, sf_dir) -> DataFrame:
+    s = _toks(spark, sf_dir).select("doc_id", F.array_distinct("toks").alias("ts"))
+    a = s.alias("a")
+    b = s.select((F.col("doc_id") - 1).alias("doc_id"), F.col("ts").alias("ts_b")).alias("b")
+    joined = a.join(b, "doc_id")
+    inter = F.size(F.array_intersect("ts", "ts_b")).cast("double")
+    union = F.size(F.array_union("ts", "ts_b"))
+    return joined.select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 1).alias("doc_b"),
+        F.round(inter / F.when(union > 0, union.cast("double")), 6).alias("jaccard"),
+    )
+
+
+SQL_JACCARD_ADJACENT = f"""WITH {_TOKS_CTE},
+s AS (SELECT doc_id, list_distinct(toks) AS ts FROM toks)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  ROUND(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+        / NULLIF(len(list_distinct(list_concat(a.ts, b.ts))), 0), 6) AS jaccard
+FROM s a JOIN s b ON b.doc_id = a.doc_id + 1"""
+
+
+# ---------------------------------------------------------------- similarity: cosine top-k
+def q_embedding_topk(spark, sf_dir) -> DataFrame:
+    e = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
+    )
+    denom = F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(F.col("qv"), F.col("qv")))
+    sims = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.when(denom != 0, dot(F.col("v"), F.col("qv")) / denom).alias("sim"),
+        )
+    )
+    return (
+        sims.orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("sim", 5).alias("sim"))
+    )
+
+
+SQL_EMBEDDING_TOPK = """WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, ROUND(sim, 5) AS sim FROM (
+  SELECT e.vec_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qv)
+         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+  FROM embeddings e, q WHERE e.vec_id <> 0)
+ORDER BY sim DESC, vec_id LIMIT 10"""
+
+
+# ---------------------------------------------------------------- fingerprint (rolling hash)
+def q_doc_fingerprint(spark, sf_dir) -> DataFrame:
+    # polynomial rolling hash over the token stream, mod 2^31-1 (deterministic,
+    # order-sensitive document fingerprint)
+    t = _toks(spark, sf_dir)
+    fp = F.aggregate(
+        F.col("toks"),
+        F.lit(0).cast("long"),
+        lambda acc, tok: (acc * 31 + F.length(tok).cast("long")) % 2147483647,
+    )
+    return t.select("doc_id", fp.alias("fingerprint"))
+
+
+SQL_DOC_FINGERPRINT = f"""WITH {_TOKS_CTE}
+SELECT doc_id,
+  list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(length(t) AS BIGINT) for t in toks]),
+              (acc, x) -> (acc * 31 + x) % 2147483647) AS fingerprint
+FROM toks"""
+
+
+# ---------------------------------------------------------------- rows-only (non-SQL) queries
+def q_bm25_stemmed_topk(spark, sf_dir) -> DataFrame:
+    """Full engine (Porter-stemmed tokenizer + boost chain) over the
+    text-only documents table; no SQL oracle (stemming is not
+    SQL-expressible) — correctness covered by the pytest oracle."""
+    from searchengine_spark.plans.text_only import build_text_only_index
+    from searchengine_spark.plans.bm25 import BM25SearchEngine
+
+    tables = build_text_only_index(spark, _documents(spark, sf_dir))
+    engine = BM25SearchEngine(spark, tables)
+    res = engine.search_batch([(0, "dup fast join")], top_k=10, with_metadata=False)
+    return res.select("rank", "doc_id", F.round("score", 6).alias("score"))
+
+
+QUERIES = {
+    "doc_token_stats": q_doc_token_stats,
+    "index_stats": q_index_stats,
+    "term_df_top100": q_term_df_top100,
+    "postings_sample": q_postings_sample,
+    "term_idf": q_term_idf,
+    "bm25_topk": q_bm25_topk,
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "lang_dist": q_lang_dist,
+    "quality_scores": q_quality_scores,
+    "jaccard_adjacent": q_jaccard_adjacent,
+    "embedding_topk": q_embedding_topk,
+    "doc_fingerprint": q_doc_fingerprint,
+    "bm25_stemmed_topk": q_bm25_stemmed_topk,
+}
+
+ORACLE_SQL = {
+    "doc_token_stats": SQL_DOC_TOKEN_STATS,
+    "index_stats": SQL_INDEX_STATS,
+    "term_df_top100": SQL_TERM_DF_TOP100,
+    "postings_sample": SQL_POSTINGS_SAMPLE,
+    "term_idf": SQL_TERM_IDF,
+    "bm25_topk": SQL_BM25_TOPK,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "minhash_signatures": SQL_MINHASH_SIGNATURES,
+    "lang_dist": SQL_LANG_DIST,
+    "quality_scores": SQL_QUALITY_SCORES,
+    "jaccard_adjacent": SQL_JACCARD_ADJACENT,
+    "embedding_topk": SQL_EMBEDDING_TOPK,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    # bm25_stemmed_topk: intentionally no SQL oracle (Porter stemming)
+}

@@ -42,8 +42,7 @@ def oracle(corpus):
 def spark_index(spark, corpus):
     pdf, _ = corpus
     pages = spark.createDataFrame(pdf)
-    documents = index_build.extract_documents(pages)
-    tables = index_build.build_index(documents)
+    tables = index_build.build_index(pages)
     # materialize once for the whole module
     for name in ("docs", "postings", "doc_stats", "term_stats", "stats"):
         setattr(tables, name, getattr(tables, name).cache())
