@@ -1,0 +1,274 @@
+"""Document-sharded, block-compressed physical index layout.
+
+This is the 100 TB-scale physical organization of the logical index
+(:class:`~searchengine_spark.operators.index_build.IndexTables`):
+
+* **docno assignment** — every doc_id (md5 hex, 128-bit) gets a dense
+  int64 ``docno`` by global doc_id order. Implemented scale-correctly:
+  ``repartitionByRange`` + in-partition sort + per-partition offset
+  enumeration (the classic zipWithIndex layout) — no global sort on one
+  node, no window over a single partition. Deterministic because the
+  ranged/sorted frame is persisted and both passes (offset count,
+  enumeration) read the same partitions.
+
+* **doc-range sharding** — ``shard = docno // shard_size``. Sharding by
+  *document* (not by term) is what real distributed search engines do:
+  every posting of a doc lives in exactly one shard, so a shard can compute
+  exact BM25+boost scores for its docs locally and global top-k is the
+  merge of per-shard top-k's. It is also the skew answer demanded by the
+  north rule: a Zipf head term's posting list is split across all shards
+  (doc-hash salting with contiguous ranges), so no single task ever
+  materializes a whole head-term posting list. The salt-invariance
+  property (n_shards=1 ≡ n_shards=16 after decode) is pytest-verified.
+
+* **posting blocks** — within (shard, term), postings are sorted by docno
+  and cut into blocks of ``block_size``; each block stores delta-gap +
+  varint streams (operators/codec.py) for (docno gaps, tf, doc_len) plus
+  block-max metadata: ``max_partial`` = max over the block of the
+  doc-dependent BM25 factor (k1+1)·tf / (k1·(1−b+b·dl/avgdl)+tf), the
+  exact per-block score upper bound used by the WAND scorer
+  (plans/wand.py). Contiguous docnos within a shard keep gaps tiny, so
+  varints are mostly 1 byte.
+
+Reference parity: this replaces the reference's single pickled
+``term → [(doc_id, tf)]`` dict (indexer.py:45,149-150,246-248) and its
+whole-file gzip "optimization" (optimized_indexer.py:238-248) with the
+standard compressed inverted-file layout (delta-gap + LEB128, block-max).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from searchengine_spark.config import B, K1
+from searchengine_spark.operators import codec
+from searchengine_spark.operators.index_build import IndexTables
+
+BLOCK_SCHEMA = (
+    "shard int, term string, block_no int, n int, min_docno long, max_docno long, "
+    "max_partial double, gaps binary, tfs binary, dls binary"
+)
+
+DEFAULT_BLOCK_SIZE = 128
+
+
+def assign_docnos(spark: SparkSession, doc_ids: DataFrame, n_parts: int = 32) -> DataFrame:
+    """(doc_id) → (doc_id, docno) with docno dense in global doc_id order.
+
+    Two passes over one persisted ranged+sorted layout: pass 1 counts rows
+    per partition (driver collects ≤n_parts rows → cumulative offsets),
+    pass 2 enumerates within each partition starting at its offset.
+    """
+    ranged = (
+        doc_ids.select("doc_id")
+        .repartitionByRange(n_parts, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in ranged.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    def enumerate_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pos = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pos is None:
+                pos = offsets[int(pdf["pid"].iloc[0])]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "docno": np.arange(pos, pos + len(pdf), dtype=np.int64),
+                }
+            )
+            pos += len(pdf)
+
+    out = ranged.mapInPandas(enumerate_partition, "doc_id string, docno long")
+    return out
+
+
+@dataclass
+class ShardedIndex:
+    """Physical index: compressed posting blocks + co-sharded doc metadata."""
+
+    blocks: DataFrame  # BLOCK_SCHEMA
+    docs: DataFrame  # shard, docno, doc_id, url, title, description, content_snippet
+    term_stats: DataFrame  # term, df, idf (global)
+    n_docs: int
+    avgdl: float
+    n_shards: int
+    shard_size: int
+    block_size: int
+
+
+def build_sharded_index(
+    spark: SparkSession,
+    tables: IndexTables,
+    n_shards: int = 16,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    docnos: DataFrame | None = None,
+) -> ShardedIndex:
+    """Logical index tables → sharded block-compressed physical index."""
+    stats = tables.stats.collect()[0]
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+    shard_size = max(1, math.ceil(n_docs / n_shards))
+
+    if docnos is None:
+        docnos = assign_docnos(spark, tables.doc_stats.select("doc_id"))
+
+    with_no = tables.postings.join(docnos, "doc_id").select(
+        (F.col("docno") / shard_size).cast("int").alias("shard"),
+        "term",
+        "docno",
+        "tf",
+        "doc_len",
+    )
+
+    k1, b = K1, B
+
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("docno")
+        shard = int(pdf["shard"].iloc[0])
+        term = pdf["term"].iloc[0]
+        docnos_a = pdf["docno"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.float64)
+        dls = pdf["doc_len"].to_numpy(dtype=np.float64)
+        rows = []
+        for bno, start in enumerate(range(0, len(pdf), block_size)):
+            d = docnos_a[start : start + block_size]
+            t = tfs[start : start + block_size]
+            dl = dls[start : start + block_size]
+            partial = ((k1 + 1.0) * t) / (k1 * (1.0 - b + b * dl / avgdl) + t)
+            g_buf, t_buf, dl_buf = codec.encode_postings(
+                d.astype(np.uint64), t, dl
+            )
+            rows.append(
+                (
+                    shard,
+                    term,
+                    bno,
+                    len(d),
+                    int(d[0]),
+                    int(d[-1]),
+                    float(partial.max()),
+                    g_buf,
+                    t_buf,
+                    dl_buf,
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "shard",
+                "term",
+                "block_no",
+                "n",
+                "min_docno",
+                "max_docno",
+                "max_partial",
+                "gaps",
+                "tfs",
+                "dls",
+            ],
+        )
+
+    blocks = with_no.groupBy("shard", "term").applyInPandas(encode_group, BLOCK_SCHEMA)
+
+    docs = tables.docs.join(docnos, "doc_id").select(
+        (F.col("docno") / shard_size).cast("int").alias("shard"),
+        "docno",
+        "doc_id",
+        "url",
+        "title",
+        "description",
+        "content_snippet",
+    )
+
+    return ShardedIndex(
+        blocks=blocks,
+        docs=docs,
+        term_stats=tables.term_stats,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        n_shards=n_shards,
+        shard_size=shard_size,
+        block_size=block_size,
+    )
+
+
+def write_sharded_index(index: ShardedIndex, path: str) -> None:
+    """Persist: blocks/docs repartitioned by shard, term-sorted within files
+    so the query-time term IN-list prunes parquet row groups."""
+    (
+        index.blocks.repartition(index.n_shards, "shard")
+        .sortWithinPartitions("shard", "term", "block_no")
+        .write.mode("overwrite")
+        .parquet(f"{path}/blocks")
+    )
+    (
+        index.docs.repartition(index.n_shards, "shard")
+        .sortWithinPartitions("shard", "docno")
+        .write.mode("overwrite")
+        .parquet(f"{path}/docs_sharded")
+    )
+    index.term_stats.write.mode("overwrite").parquet(f"{path}/term_stats")
+    meta = {
+        "n_docs": index.n_docs,
+        "avgdl": index.avgdl,
+        "n_shards": index.n_shards,
+        "shard_size": index.shard_size,
+        "block_size": index.block_size,
+    }
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/meta.json", "w") as f:
+        json.dump(meta, f)
+
+
+def read_sharded_index(spark: SparkSession, path: str) -> ShardedIndex:
+    with open(f"{path}/meta.json") as f:
+        meta = json.load(f)
+    return ShardedIndex(
+        blocks=spark.read.parquet(f"{path}/blocks"),
+        docs=spark.read.parquet(f"{path}/docs_sharded"),
+        term_stats=spark.read.parquet(f"{path}/term_stats"),
+        **meta,
+    )
+
+
+def decode_blocks_to_postings(blocks_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Test/verification helper: block rows → flat (term, docno, tf, doc_len).
+    Used by the shard-invariance property test (n_shards=1 ≡ n_shards=16)."""
+    terms, docnos, tfs, dls = [], [], [], []
+    for row in blocks_pdf.itertuples(index=False):
+        d, t, dl = codec.decode_postings(row.gaps, row.tfs, row.dls)
+        terms.extend([row.term] * len(d))
+        docnos.append(d.astype(np.int64))
+        tfs.append(t)
+        dls.append(dl)
+    if not terms:
+        return pd.DataFrame(columns=["term", "docno", "tf", "doc_len"])
+    return pd.DataFrame(
+        {
+            "term": terms,
+            "docno": np.concatenate(docnos),
+            "tf": np.concatenate(tfs),
+            "doc_len": np.concatenate(dls),
+        }
+    )

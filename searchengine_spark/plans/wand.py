@@ -1,0 +1,376 @@
+"""Block-max WAND exact top-k over the sharded compressed index.
+
+The scale path for ``SearchIndexer.search`` (indexer.py:280-342): instead of
+scoring every posting of every query term (the exhaustive Catalyst plan in
+plans/bm25.py), each *document shard* prunes whole posting **blocks** whose
+score upper bound cannot reach the running top-k threshold, decodes and
+scores only the survivors, and emits its local top-k; the global answer is
+the merge of per-shard top-k's (exact, because every posting of a doc lives
+in exactly one shard — see operators/shards.py).
+
+Exactness argument (property-tested against the exhaustive engine):
+
+* block upper bound: ``UB(b of term t) = w_t·max_partial(b) +
+  Σ_{t'≠t} max(w_{t'}·max_partial(b') : b' of t' overlaps b's docno range)``
+  — any doc in b scores ≤ UB(b) raw;
+* the reference multiplies BM25 by a bounded boost chain
+  (indexer.py:405-441): ``MAX_BOOST = max(1.8,1.5,1.3)·(1+2)·(1+1)·1.25``,
+  so boosted(d) ≤ UB(b)·MAX_BOOST for d ∈ b;
+* θ is seeded by exactly scoring (boosts included) the docs of the single
+  highest-UB block, so θ ≤ true kth-best boosted score;
+* a block is dropped iff ``UB·MAX_BOOST < θ`` ⇒ every doc in it is provably
+  outside the top-k, and those docnos are *killed* (their partial sums in
+  surviving blocks are discarded) so no doc is ever returned with an
+  incomplete score.
+
+Everything inside the kernel is numpy/pandas over Arrow batches (cogrouped
+``applyInPandas`` by shard); decode is the vectorized varint codec. The
+driver-side work is only query analysis + the tiny per-term idf collect.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from searchengine_spark.config import (
+    B,
+    DEFAULT_STOPWORDS,
+    K1,
+    DESC_MATCH_BOOST,
+    DESC_PHRASE_BOOST,
+    MIN_SCORE_THRESHOLD,
+    ORIGINAL_TERM_IMPORTANCE,
+    PROXIMITY_BOOST,
+    SNIPPET_PHRASE_BOOST,
+    TITLE_MATCH_BOOST,
+    TITLE_PHRASE_BOOST,
+)
+from searchengine_spark.operators import codec
+from searchengine_spark.plans.bm25 import analyze_query
+
+MAX_BOOST = (
+    max(TITLE_PHRASE_BOOST, DESC_PHRASE_BOOST, SNIPPET_PHRASE_BOOST, 1.0)
+    * (1.0 + TITLE_MATCH_BOOST)
+    * (1.0 + DESC_MATCH_BOOST)
+    * PROXIMITY_BOOST
+)
+
+_OUT_SCHEMA = (
+    "query_id int, doc_id string, url string, title string, description string, "
+    "content_snippet string, score double"
+)
+
+
+def _boost(
+    raw: np.ndarray,
+    title_l: pd.Series,
+    desc_l: pd.Series,
+    snip_l: pd.Series,
+    original_query: str,
+    orig_tokens: list[str],
+) -> np.ndarray:
+    """Vectorized boost chain (indexer.py:405-441), identical to the
+    Catalyst expressions in plans/bm25.py."""
+    score = raw.copy()
+    in_t = title_l.str.contains(original_query, regex=False).to_numpy()
+    in_d = desc_l.str.contains(original_query, regex=False).to_numpy()
+    in_s = snip_l.str.contains(original_query, regex=False).to_numpy()
+    phrase = np.where(
+        in_t,
+        TITLE_PHRASE_BOOST,
+        np.where(in_d, DESC_PHRASE_BOOST, np.where(in_s, SNIPPET_PHRASE_BOOST, 1.0)),
+    )
+    score *= phrase
+    n_orig = len(orig_tokens)
+    if n_orig > 0:
+        t_hits = np.zeros(len(raw))
+        d_hits = np.zeros(len(raw))
+        s_all = np.ones(len(raw), dtype=bool)
+        for tok in orig_tokens:
+            t_hits += title_l.str.contains(tok, regex=False).to_numpy()
+            d_hits += desc_l.str.contains(tok, regex=False).to_numpy()
+            s_all &= snip_l.str.contains(tok, regex=False).to_numpy()
+        t_pct = t_hits / n_orig
+        d_pct = d_hits / n_orig
+        score *= np.where(t_pct > 0, 1.0 + t_pct * TITLE_MATCH_BOOST, 1.0)
+        score *= np.where(d_pct > 0, 1.0 + d_pct * DESC_MATCH_BOOST, 1.0)
+        if n_orig > 1:
+            score *= np.where(s_all, PROXIMITY_BOOST, 1.0)
+    return score
+
+
+class WandSearchEngine:
+    """Batched exact top-k over a :class:`ShardedIndex` via block-max WAND."""
+
+    def __init__(self, spark: SparkSession, index):
+        self.spark = spark
+        self.index = index
+        self.avgdl = float(index.avgdl)
+
+    def _analyze(self, queries, stopwords):
+        """Driver-side: per-query term weights w = idf·mult·importance plus
+        boost metadata. idf collect touches only the query terms (tiny)."""
+        analyzed = {}
+        all_terms: set[str] = set()
+        for qid, text in queries:
+            a = analyze_query(text, stopwords)
+            if a is None:
+                continue
+            analyzed[qid] = a
+            all_terms.update(a[0].keys())
+        if not analyzed:
+            return None, []
+        term_list = sorted(all_terms)
+        idf = {
+            r["term"]: float(r["idf"])
+            for r in self.index.term_stats.filter(F.col("term").isin(term_list))
+            .select("term", "idf")
+            .collect()
+        }
+        qinfo = []
+        for qid, (term_mult, orig_tokens, original_query) in analyzed.items():
+            weights = {}
+            for t, m in term_mult.items():
+                if t not in idf:
+                    continue
+                imp = ORIGINAL_TERM_IMPORTANCE if t in orig_tokens else 1.0
+                weights[t] = idf[t] * float(m) * imp
+            if weights:
+                qinfo.append((qid, weights, orig_tokens, original_query))
+        return qinfo, sorted({t for _, w, _, _ in qinfo for t in w})
+
+    def search_batch(
+        self,
+        queries: list[tuple[int, str]],
+        top_k: int = 20,
+        stopwords=DEFAULT_STOPWORDS,
+        with_metadata: bool = True,
+        prune: bool = True,
+    ) -> DataFrame | None:
+        qinfo, term_list = self._analyze(queries, stopwords)
+        if not qinfo:
+            return None
+        k = top_k
+        avgdl = self.avgdl  # plain float local: the kernel closure must not
+        # capture self (it holds the SparkSession, which cannot ship to workers)
+
+        def kernel(blocks_pdf: pd.DataFrame, docs_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(blocks_pdf) == 0 or len(docs_pdf) == 0:
+                return pd.DataFrame(
+                    columns=[
+                        "query_id", "doc_id", "url", "title", "description",
+                        "content_snippet", "score",
+                    ]
+                )
+            blocks_pdf = blocks_pdf.reset_index(drop=True)
+            docs_pdf = docs_pdf.sort_values("docno").reset_index(drop=True)
+            shard_docnos = docs_pdf["docno"].to_numpy(dtype=np.int64)
+            title_l = docs_pdf["title"].fillna("").str.lower()
+            desc_l = docs_pdf["description"].fillna("").str.lower()
+            snip_l = docs_pdf["content_snippet"].fillna("").str.lower()
+            decode_cache: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+            def decoded(i: int):
+                if i not in decode_cache:
+                    r = blocks_pdf.iloc[i]
+                    d, t, dl = codec.decode_postings(r["gaps"], r["tfs"], r["dls"])
+                    decode_cache[i] = (d.astype(np.int64), t, dl)
+                return decode_cache[i]
+
+            by_term = {t: g for t, g in blocks_pdf.groupby("term")}
+            out_rows = []
+
+            for qid, weights, orig_tokens, original_query in qinfo:
+                terms = [t for t in weights if t in by_term]
+                if not terms:
+                    continue
+                # flatten block metadata across the query's terms
+                t_idx, row_idx, mins, maxs, ubs = [], [], [], [], []
+                per_term = {}
+                for ti, t in enumerate(terms):
+                    g = by_term[t].sort_values("min_docno")
+                    w = weights[t]
+                    per_term[ti] = (
+                        g["min_docno"].to_numpy(dtype=np.int64),
+                        g["max_docno"].to_numpy(dtype=np.int64),
+                        w * g["max_partial"].to_numpy(dtype=np.float64),
+                        g.index.to_numpy(),
+                    )
+                    t_idx.extend([ti] * len(g))
+                    row_idx.extend(g.index.tolist())
+                    mins.extend(per_term[ti][0])
+                    maxs.extend(per_term[ti][1])
+                    ubs.extend(per_term[ti][2])
+                t_idx = np.asarray(t_idx)
+                row_pos = np.asarray(row_idx, dtype=np.int64)
+                mins_a = np.asarray(mins, dtype=np.int64)
+                maxs_a = np.asarray(maxs, dtype=np.int64)
+                ubs_a = np.asarray(ubs, dtype=np.float64)
+
+                # UB_full per block: own ub + best overlapping ub of each other term
+                ub_full = ubs_a.copy()
+                for i in range(len(ubs_a)):
+                    lo, hi = mins_a[i], maxs_a[i]
+                    for ti, (tmins, tmaxs, tubs, _) in per_term.items():
+                        if ti == t_idx[i]:
+                            continue
+                        # blocks of ti sorted by min_docno, non-overlapping:
+                        # overlap range = [first with max>=lo, last with min<=hi]
+                        a = np.searchsorted(tmaxs, lo, side="left")
+                        z = np.searchsorted(tmins, hi, side="right")
+                        if z > a:
+                            ub_full[i] += tubs[a:z].max()
+
+                def score_docnos(block_positions, restrict=None, killed=None):
+                    """Decode the given blocks, sum w·partial per docno."""
+                    parts_d, parts_s = [], []
+                    for bi in block_positions:
+                        gpos = int(row_pos[bi])
+                        d, tf, dl = decoded(gpos)
+                        w = weights[terms[t_idx[bi]]]
+                        partial = ((K1 + 1.0) * tf) / (
+                            K1 * (1.0 - B + B * dl / avgdl) + tf
+                        )
+                        parts_d.append(d)
+                        parts_s.append(w * partial)
+                    if not parts_d:
+                        return np.empty(0, np.int64), np.empty(0)
+                    dd = np.concatenate(parts_d)
+                    ss = np.concatenate(parts_s)
+                    if restrict is not None:
+                        m = np.isin(dd, restrict)
+                        dd, ss = dd[m], ss[m]
+                    if killed is not None and killed.size:
+                        m = ~np.isin(dd, killed)
+                        dd, ss = dd[m], ss[m]
+                    if dd.size == 0:
+                        return dd, ss
+                    order = np.argsort(dd, kind="stable")
+                    dd, ss = dd[order], ss[order]
+                    uniq, starts = np.unique(dd, return_index=True)
+                    sums = np.add.reduceat(ss, starts)
+                    return uniq, sums
+
+                def boosted_scores(docnos_u, raw):
+                    pos = np.searchsorted(shard_docnos, docnos_u)
+                    return _boost(
+                        raw,
+                        title_l.iloc[pos],
+                        desc_l.iloc[pos],
+                        snip_l.iloc[pos],
+                        original_query,
+                        orig_tokens,
+                    ), pos
+
+                theta = 0.0
+                if prune and len(ubs_a) > 1:
+                    # seed θ: exactly score the docs of the top-UB block
+                    b_star = int(np.argmax(ub_full))
+                    lo, hi = mins_a[b_star], maxs_a[b_star]
+                    overlapping = [
+                        i
+                        for i in range(len(ubs_a))
+                        if mins_a[i] <= hi and maxs_a[i] >= lo
+                    ]
+                    seed_docnos = decoded(int(row_pos[b_star]))[0]
+                    du, su = score_docnos(overlapping, restrict=seed_docnos)
+                    if du.size:
+                        bs, _ = boosted_scores(du, su)
+                        if bs.size >= k:
+                            theta = float(np.partition(bs, -k)[-k])
+
+                kept = np.flatnonzero(ub_full * MAX_BOOST >= theta) if theta > 0 else np.arange(len(ubs_a))
+                dropped = np.setdiff1d(np.arange(len(ubs_a)), kept)
+                killed = (
+                    np.unique(
+                        np.concatenate(
+                            [decoded(int(row_pos[i]))[0] for i in dropped]
+                        )
+                    )
+                    if dropped.size
+                    else np.empty(0, np.int64)
+                )
+                du, su = score_docnos(kept, killed=killed)
+                if du.size == 0:
+                    continue
+                bs, pos = boosted_scores(du, su)
+                # local top-k, tie-break doc_id asc (matches the oracle)
+                doc_ids = docs_pdf["doc_id"].iloc[pos].to_numpy()
+                order = np.lexsort((doc_ids, -bs))[:k]
+                sel = pos[order]
+                out_rows.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "doc_id": docs_pdf["doc_id"].iloc[sel].to_numpy(),
+                            "url": docs_pdf["url"].iloc[sel].to_numpy(),
+                            "title": docs_pdf["title"].iloc[sel].to_numpy(),
+                            "description": docs_pdf["description"].iloc[sel].to_numpy(),
+                            "content_snippet": docs_pdf["content_snippet"]
+                            .iloc[sel]
+                            .to_numpy(),
+                            "score": bs[order],
+                        }
+                    )
+                )
+            if not out_rows:
+                return pd.DataFrame(
+                    columns=[
+                        "query_id", "doc_id", "url", "title", "description",
+                        "content_snippet", "score",
+                    ]
+                )
+            return pd.concat(out_rows, ignore_index=True)
+
+        # term IN-list prunes the blocks scan (row-group stats on term)
+        blocks = self.index.blocks.filter(F.col("term").isin(term_list))
+        local_tops = (
+            blocks.groupby("shard")
+            .cogroup(self.index.docs.groupby("shard"))
+            .applyInPandas(lambda left, right: kernel(left, right), _OUT_SCHEMA)
+        )
+
+        # global merge: per-query max-normalize (Q6), threshold (F12), top-k (Q7)
+        w = Window.partitionBy("query_id")
+        rank_w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        out = (
+            local_tops.withColumn(
+                "score",
+                F.when(
+                    F.max("score").over(w) > 0, F.col("score") / F.max("score").over(w)
+                ).otherwise(F.col("score")),
+            )
+            .withColumn("rank", F.row_number().over(rank_w))
+            .filter((F.col("rank") <= top_k) & (F.col("score") > MIN_SCORE_THRESHOLD))
+        )
+        if not with_metadata:
+            return out.select("query_id", "rank", "doc_id", "score")
+
+        orig_tokens_by_qid = {qid: toks for qid, _, toks, _ in qinfo}
+
+        @F.pandas_udf("string")
+        def snippet_udf(qid: pd.Series, content: pd.Series) -> pd.Series:
+            from searchengine_spark.functions import textproc
+
+            return pd.Series(
+                [
+                    textproc.relevant_snippet(c or "", orig_tokens_by_qid.get(int(q), []))
+                    for q, c in zip(qid, content)
+                ]
+            )
+
+        return out.select(
+            "query_id",
+            "rank",
+            "doc_id",
+            "url",
+            "title",
+            "description",
+            snippet_udf(F.col("query_id"), F.col("content_snippet")).alias(
+                "content_snippet"
+            ),
+            "score",
+        ).orderBy("query_id", "rank")
