@@ -124,11 +124,22 @@ def build_sharded_index(
     n_shards: int = 16,
     block_size: int = DEFAULT_BLOCK_SIZE,
     docnos: DataFrame | None = None,
+    shard_size: int | None = None,
+    avgdl: float | None = None,
 ) -> ShardedIndex:
-    """Logical index tables → sharded block-compressed physical index."""
+    """Logical index tables → sharded block-compressed physical index.
+
+    ``shard_size``/``avgdl`` overrides let a *segment* build share the
+    global docno→shard mapping and corpus avgdl (operators/merge.py): a
+    segment's own n_docs/avgdl must not leak into block layout or
+    block-max metadata, or merged segments would disagree.
+    """
     stats = tables.stats.collect()[0]
-    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
-    shard_size = max(1, math.ceil(n_docs / n_shards))
+    n_docs = int(stats["n_docs"])
+    if avgdl is None:
+        avgdl = float(stats["avgdl"])
+    if shard_size is None:
+        shard_size = max(1, math.ceil(n_docs / n_shards))
 
     if docnos is None:
         docnos = assign_docnos(spark, tables.doc_stats.select("doc_id"))
