@@ -391,6 +391,234 @@ SELECT doc_id,
 FROM toks"""
 
 
+# ---------------------------------------------------------------- dedup: MinHash LSH band pairs
+def q_minhash_lsh_pairs(spark, sf_dir) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: 4 minhash signatures → 4 bands of
+    1 → band-bucket self-join → candidate pairs with band-agreement count.
+    The join is on (band, hash) — at scale the bucket re-partitioning IS the
+    shuffle; no pairwise O(n²) comparison ever happens."""
+    t = _terms(spark, sf_dir)
+    sigs = t.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("term")).cast("binary"))
+            ).alias(f"mh{i}")
+            for i in range(4)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), F.col(f"mh{i}").alias("h"))
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.h").alias("h"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.countDistinct("a.band").cast("long").alias("n_bands"))
+    )
+
+
+SQL_MINHASH_LSH_PAIRS = f"""WITH {_TERMS_CTE},
+sigs AS (SELECT doc_id,
+  MIN(md5('0:' || term)) AS mh0, MIN(md5('1:' || term)) AS mh1,
+  MIN(md5('2:' || term)) AS mh2, MIN(md5('3:' || term)) AS mh3
+  FROM terms GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, band,
+         CASE band WHEN 0 THEN mh0 WHEN 1 THEN mh1 WHEN 2 THEN mh2 ELSE mh3 END AS h
+  FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS band))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(DISTINCT a.band) AS n_bands
+FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------- dedup: SimHash
+_HEX_HI = ["8", "9", "a", "b", "c", "d", "e", "f"]
+
+
+def q_simhash16(spark, sf_dir) -> DataFrame:
+    """16-bit SimHash: bit j = sign of Σ_terms tf·(±1), where the ±1 is the
+    top bit of hex digit j of md5(term). Hamming-near signatures ⇒ near-dup
+    docs; one groupBy shuffle, everything else native expressions."""
+    tf = (
+        _terms(spark, sf_dir)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+        .withColumn("h", F.md5(F.col("term").cast("binary")))
+    )
+    sums = tf.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.substring("h", j + 1, 1).isin(_HEX_HI), F.col("tf")
+                ).otherwise(-F.col("tf"))
+            ).alias(f"s{j}")
+            for j in range(16)
+        ]
+    )
+    sim = None
+    for j in range(16):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return sums.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+_SIMHASH_SUMS = ",\n  ".join(
+    f"SUM(CASE WHEN substr(h, {j + 1}, 1) IN ('8','9','a','b','c','d','e','f') "
+    f"THEN tf ELSE -tf END) AS s{j}"
+    for j in range(16)
+)
+_SIMHASH_BITS = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+SQL_SIMHASH16 = f"""WITH {_TERMS_CTE},
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf, md5(term) AS h
+       FROM terms GROUP BY doc_id, term),
+sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM tf GROUP BY doc_id)
+SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash FROM sums"""
+
+
+# ---------------------------------------------------------------- text: language-ID heuristic
+def q_lang_id_heuristic(spark, sf_dir) -> DataFrame:
+    """Stopword-ratio language identification (the n-gram-heuristic family):
+    predict 'en' when ≥15% of raw tokens are English stopwords; report
+    agreement against the labeled lang column per language."""
+    d = _documents(spark, sf_dir)
+    stop = F.array(*[F.lit(s) for s in STOP])
+    raw = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: F.length(t) >= 1)
+    ratio = F.size(F.filter(raw, lambda t: F.array_contains(stop, t))).cast(
+        "double"
+    ) / F.when(F.size(raw) > 0, F.size(raw).cast("double"))
+    pred = F.when(ratio >= 0.15, F.lit("en")).otherwise(F.lit("other"))
+    return (
+        d.select("lang", pred.alias("pred"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("pred") == "en", 1).otherwise(0)).alias("n_pred_en"),
+        )
+    )
+
+
+SQL_LANG_ID_HEURISTIC = f"""WITH raw AS (
+  SELECT lang, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           t -> length(t) >= 1) AS raw
+  FROM documents),
+scored AS (
+  SELECT lang,
+         CASE WHEN CAST(len(list_filter(raw, t -> t IN {_STOP_IN})) AS DOUBLE)
+                   / NULLIF(len(raw), 0) >= 0.15
+              THEN 'en' ELSE 'other' END AS pred
+  FROM raw)
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS n_pred_en
+FROM scored GROUP BY lang"""
+
+
+# ---------------------------------------------------------------- text: regex token counting
+_BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def q_token_count_regex(spark, sf_dir) -> DataFrame:
+    """BPE-style pre-tokenization counting: words, digit runs, punctuation
+    marks as separate tokens (the GPT-2 pre-tokenizer family, simplified to
+    a dialect-portable regex). Native regexp — whole-stage codegen."""
+    d = _documents(spark, sf_dir)
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PATTERN), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens_bpe"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))).cast("long").alias("n_words"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$"))).cast("long").alias("n_numbers"),
+    )
+
+
+SQL_TOKEN_COUNT_REGEX = f"""SELECT doc_id,
+  CAST(len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS BIGINT) AS n_tokens_bpe,
+  CAST(len(list_filter(regexp_extract_all(lower(text), '{_BPE_PATTERN}'),
+                       t -> regexp_matches(t, '^[a-z]+$'))) AS BIGINT) AS n_words,
+  CAST(len(list_filter(regexp_extract_all(lower(text), '{_BPE_PATTERN}'),
+                       t -> regexp_matches(t, '^[0-9]+$'))) AS BIGINT) AS n_numbers
+FROM documents"""
+
+
+# ---------------------------------------------------------------- similarity: LSH-bucketed ANN
+EMB_DIM = 64
+N_PLANES = 4
+# deterministic ±1 hyperplanes, identical arithmetic on both sides
+HYPERPLANES = [
+    [1.0 if ((i * 1103515245 + j * 12345) % 97) < 48 else -1.0 for i in range(EMB_DIM)]
+    for j in range(N_PLANES)
+]
+
+
+def q_ann_lsh_bucketed(spark, sf_dir) -> DataFrame:
+    """Scale path for ANN: random-hyperplane LSH buckets (4 sign bits) →
+    search only the query's bucket → exact cosine on candidates → top-5.
+    At 10^9 vectors the bucket prune replaces a full scan; brute-force
+    cosine (q_embedding_topk) is the exactness baseline."""
+    e = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
+    )
+    bucket = None
+    for j in range(N_PLANES):
+        plane = F.array(*[F.lit(c) for c in HYPERPLANES[j]])
+        bit = F.when(dot(F.col("v"), plane) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    e = e.withColumn("bucket", bucket)
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    cand = e.filter(F.col("vec_id") != 0).join(
+        F.broadcast(q), F.col("bucket") == F.col("qbucket")
+    )
+    denom = F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(F.col("qv"), F.col("qv")))
+    return (
+        cand.select(
+            "vec_id",
+            F.when(denom != 0, dot(F.col("v"), F.col("qv")) / denom).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(5)
+        .select("vec_id", F.round("sim", 5).alias("sim"))
+    )
+
+
+def _sql_plane(j: int) -> str:
+    return "list_value(" + ", ".join(str(c) for c in HYPERPLANES[j]) + ")"
+
+
+_SQL_BUCKET = " + ".join(
+    f"(CASE WHEN list_dot_product(v, {_sql_plane(j)}) > 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(N_PLANES)
+)
+SQL_ANN_LSH_BUCKETED = f"""WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_SQL_BUCKET} AS bucket FROM e),
+q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+SELECT vec_id, ROUND(sim, 5) AS sim FROM (
+  SELECT b.vec_id,
+         list_dot_product(b.v, q.qv)
+         / NULLIF(sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv)), 0) AS sim
+  FROM b JOIN q ON b.bucket = q.qbucket WHERE b.vec_id <> 0)
+ORDER BY sim DESC, vec_id LIMIT 5"""
+
+
 # ---------------------------------------------------------------- rows-only (non-SQL) queries
 def q_bm25_stemmed_topk(spark, sf_dir) -> DataFrame:
     """Full engine (Porter-stemmed tokenizer + boost chain) over the
@@ -403,6 +631,41 @@ def q_bm25_stemmed_topk(spark, sf_dir) -> DataFrame:
     engine = BM25SearchEngine(spark, tables)
     res = engine.search_batch([(0, "dup fast join")], top_k=10, with_metadata=False)
     return res.select("rank", "doc_id", F.round("score", 6).alias("score"))
+
+
+def q_wand_stemmed_topk(spark, sf_dir) -> DataFrame:
+    """Same query as q_bm25_stemmed_topk but through the sharded compressed
+    index + block-max WAND path (plans/wand.py); rank/score-identity of the
+    two paths is property-tested in tests/test_wand.py. Rows-only here."""
+    from searchengine_spark.operators import shards
+    from searchengine_spark.plans.text_only import build_text_only_index
+    from searchengine_spark.plans.wand import WandSearchEngine
+
+    tables = build_text_only_index(spark, _documents(spark, sf_dir))
+    for name in ("docs", "postings", "doc_stats", "term_stats", "stats"):
+        setattr(tables, name, getattr(tables, name).cache())
+    sharded = shards.build_sharded_index(spark, tables, n_shards=8)
+    engine = WandSearchEngine(spark, sharded)
+    res = engine.search_batch([(0, "dup fast join")], top_k=10, with_metadata=False)
+    return res.select("rank", "doc_id", F.round("score", 6).alias("score"))
+
+
+def q_multimodal_features(spark, sf_dir) -> DataFrame:
+    """Multimodal plumbing over a deterministic synthetic media table
+    (binary column + typed metadata): Arrow feature extraction + per-type
+    aggregate. Rows-only (the byte-level featurizer is not SQL)."""
+    from searchengine_spark.sources import multimodal
+
+    media = multimodal.synth_media_from_documents(_documents(spark, sf_dir))
+    feats = multimodal.extract_features(media)
+    return (
+        feats.groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.round(F.avg(F.element_at("features", 1)), 6).alias("avg_f0"),
+        )
+        .orderBy("media_type")
+    )
 
 
 QUERIES = {
@@ -419,7 +682,14 @@ QUERIES = {
     "jaccard_adjacent": q_jaccard_adjacent,
     "embedding_topk": q_embedding_topk,
     "doc_fingerprint": q_doc_fingerprint,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash16": q_simhash16,
+    "lang_id_heuristic": q_lang_id_heuristic,
+    "token_count_regex": q_token_count_regex,
+    "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "bm25_stemmed_topk": q_bm25_stemmed_topk,
+    "wand_stemmed_topk": q_wand_stemmed_topk,
+    "multimodal_features": q_multimodal_features,
 }
 
 ORACLE_SQL = {
@@ -436,5 +706,11 @@ ORACLE_SQL = {
     "jaccard_adjacent": SQL_JACCARD_ADJACENT,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
-    # bm25_stemmed_topk: intentionally no SQL oracle (Porter stemming)
+    "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+    "simhash16": SQL_SIMHASH16,
+    "lang_id_heuristic": SQL_LANG_ID_HEURISTIC,
+    "token_count_regex": SQL_TOKEN_COUNT_REGEX,
+    "ann_lsh_bucketed": SQL_ANN_LSH_BUCKETED,
+    # bm25_stemmed_topk / wand_stemmed_topk: no SQL oracle (Porter stemming);
+    # multimodal_features: no SQL oracle (byte-level featurizer) — rows-only.
 }
