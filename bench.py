@@ -83,6 +83,26 @@ def run_bench(cpus: int = CPUS, n_docs: int = N_DOCS, sf_dir: str = SF_DIR) -> d
     n_results = len(res.collect())
     queries["query_batch_21"] = round(time.time() - t0, 3)
 
+    # sharded compressed index + block-max WAND query path
+    from searchengine_spark.operators import shards as shards_mod
+    from searchengine_spark.plans.wand import WandSearchEngine
+
+    t0 = time.time()
+    sharded = shards_mod.build_sharded_index(spark, tables, n_shards=max(cpus, 8))
+    shards_mod.write_sharded_index(sharded, os.path.join(BENCH_DIR, f"sharded_{n_docs}_c{cpus}"))
+    queries["sharded_build"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    sharded = shards_mod.read_sharded_index(
+        spark, os.path.join(BENCH_DIR, f"sharded_{n_docs}_c{cpus}")
+    )
+    wand_res = WandSearchEngine(spark, sharded).search_batch(
+        webgen.reference_queries(), top_k=10
+    )
+    n_wand = len(wand_res.collect())
+    queries["query_batch_21_wand"] = round(time.time() - t0, 3)
+    assert n_wand == n_results, f"wand={n_wand} != exhaustive={n_results}"
+
     for name in ("bm25_topk", "term_df_top100", "minhash_signatures", "embedding_topk"):
         fn = entry_queries.QUERIES[name]
         t0 = time.time()

@@ -1,0 +1,183 @@
+"""Command-line entry points, runnable via ``spark-submit --py-files``.
+
+Packaging (north rule): zip the package and submit any subcommand::
+
+    zip -r searchengine_spark.zip searchengine_spark
+    spark-submit --py-files searchengine_spark.zip -m searchengine_spark.cli \\
+        build --input /data/web_pages --out /data/index --resumable
+
+Locally the same module runs as ``python -m searchengine_spark.cli ...``
+(Spark local mode). Subcommands mirror the reference's scripts:
+``generate`` (test corpus), ``build`` (= build_index.py), ``optimize``
+(= optimize_index.py → sharded compressed blocks), ``query`` (= app.py
+search path), ``merge`` (segment merge), ``verify`` (= verify_index.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _spark(args):
+    from searchengine_spark.plans.session import get_spark
+
+    return get_spark(
+        "searchengine-spark-cli",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+
+
+def cmd_generate(args) -> int:
+    from searchengine_spark.sources import webgen
+
+    spark = _spark(args)
+    webgen.generate_spark(spark, args.n_docs, partitions=args.partitions).write.mode(
+        "overwrite"
+    ).parquet(args.out)
+    print(json.dumps({"generated_docs": args.n_docs, "path": args.out}))
+    return 0
+
+
+def cmd_build(args) -> int:
+    from searchengine_spark.operators import checkpoint, index_build
+
+    spark = _spark(args)
+    pages = spark.read.parquet(args.input)
+    t0 = time.time()
+    if args.resumable:
+        tokenized = checkpoint.checkpointed_tokenize(
+            spark, pages, args.out, n_chunks=args.n_chunks
+        )
+        tables = index_build.build_index_tables(tokenized)
+        index_build.write_index(tables, args.out, args.partitions)
+    else:
+        index_build.build_and_write_index(
+            spark, pages, args.out, postings_partitions=args.partitions
+        )
+    n = spark.read.parquet(f"{args.out}/stats").collect()[0]["n_docs"]
+    wall = time.time() - t0
+    print(json.dumps({"docs": n, "wall_s": round(wall, 2),
+                      "docs_per_sec": round(n / wall, 1)}))
+    return 0
+
+
+def cmd_optimize(args) -> int:
+    from searchengine_spark.operators import index_build, shards
+
+    spark = _spark(args)
+    tables = index_build.read_index(spark, args.index)
+    sharded = shards.build_sharded_index(
+        spark, tables, n_shards=args.shards, block_size=args.block_size
+    )
+    shards.write_sharded_index(sharded, args.out)
+    print(json.dumps({"n_shards": sharded.n_shards, "n_docs": sharded.n_docs,
+                      "path": args.out}))
+    return 0
+
+
+def cmd_query(args) -> int:
+    from searchengine_spark.operators import index_build, shards
+    from searchengine_spark.plans.bm25 import BM25SearchEngine
+    from searchengine_spark.plans.wand import WandSearchEngine
+
+    spark = _spark(args)
+    batch = list(enumerate(args.query))
+    if args.wand:
+        engine = WandSearchEngine(spark, shards.read_sharded_index(spark, args.index))
+    else:
+        engine = BM25SearchEngine(spark, index_build.read_index(spark, args.index))
+    res = engine.search_batch(batch, top_k=args.top_k)
+    if res is None:
+        print(json.dumps({"results": []}))
+        return 0
+    for r in res.collect():
+        print(json.dumps({k: r[k] for k in ("query_id", "rank", "doc_id", "url", "score")}))
+    return 0
+
+
+def cmd_merge(args) -> int:
+    from searchengine_spark.operators import index_build, merge
+
+    spark = _spark(args)
+    segments = [index_build.read_index(spark, p) for p in args.segments]
+    merged = merge.merge_index_tables(spark, segments)
+    index_build.write_index(merged, args.out, args.partitions)
+    n = spark.read.parquet(f"{args.out}/stats").collect()[0]["n_docs"]
+    print(json.dumps({"segments": len(args.segments), "merged_docs": n}))
+    return 0
+
+
+def cmd_verify(args) -> int:
+    """Index-artifact integrity (reference verify_index.py:23-89 analog)."""
+    from searchengine_spark.operators import index_build
+
+    spark = _spark(args)
+    checks = {}
+    tables = index_build.read_index(spark, args.index)
+    stats = tables.stats.collect()[0]
+    checks["n_docs"] = int(stats["n_docs"])
+    checks["avgdl"] = float(stats["avgdl"])
+    checks["docs_rows"] = tables.docs.count()
+    checks["postings_rows"] = tables.postings.count()
+    checks["terms"] = tables.term_stats.count()
+    checks["doc_stats_match"] = tables.doc_stats.count() == checks["n_docs"]
+    checks["docs_match"] = checks["docs_rows"] == checks["n_docs"]
+    ok = checks["doc_stats_match"] and checks["docs_match"] and checks["postings_rows"] > 0
+    print(json.dumps({"ok": ok, **checks}))
+    return 0 if ok else 1
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="searchengine_spark")
+    p.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
+    p.add_argument("--shuffle-partitions", type=int, default=32)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="deterministic synthetic web_pages corpus")
+    g.add_argument("--n-docs", type=int, default=10000)
+    g.add_argument("--partitions", type=int, default=32)
+    g.add_argument("--out", required=True)
+    g.set_defaults(fn=cmd_generate)
+
+    b = sub.add_parser("build", help="build + persist the inverted index")
+    b.add_argument("--input", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--partitions", type=int, default=32)
+    b.add_argument("--resumable", action="store_true")
+    b.add_argument("--n-chunks", type=int, default=16)
+    b.set_defaults(fn=cmd_build)
+
+    o = sub.add_parser("optimize", help="logical index → sharded compressed blocks")
+    o.add_argument("--index", required=True)
+    o.add_argument("--out", required=True)
+    o.add_argument("--shards", type=int, default=16)
+    o.add_argument("--block-size", type=int, default=128)
+    o.set_defaults(fn=cmd_optimize)
+
+    q = sub.add_parser("query", help="BM25 top-k (exhaustive or --wand)")
+    q.add_argument("--index", required=True)
+    q.add_argument("--top-k", type=int, default=10)
+    q.add_argument("--wand", action="store_true")
+    q.add_argument("query", nargs="+")
+    q.set_defaults(fn=cmd_query)
+
+    m = sub.add_parser("merge", help="merge doc-disjoint index segments")
+    m.add_argument("--segments", nargs="+", required=True)
+    m.add_argument("--out", required=True)
+    m.add_argument("--partitions", type=int, default=32)
+    m.set_defaults(fn=cmd_merge)
+
+    v = sub.add_parser("verify", help="index artifact integrity check")
+    v.add_argument("--index", required=True)
+    v.set_defaults(fn=cmd_verify)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
