@@ -35,8 +35,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from searchengine_spark.config import B, K1
 from searchengine_spark.operators import codec
+from searchengine_spark.operators import shards as shards_mod
 from searchengine_spark.operators.index_build import IndexTables
 from searchengine_spark.operators.shards import BLOCK_SCHEMA, DEFAULT_BLOCK_SIZE
 
@@ -92,35 +92,36 @@ def merge_block_segments(
     u = _union_all(segments)
     if num_partitions:
         u = u.repartition(num_partitions, "shard", "term")
-    k1, b = K1, B
 
     def regroup(pdf: pd.DataFrame) -> pd.DataFrame:
-        shard = int(pdf["shard"].iloc[0])
-        term = pdf["term"].iloc[0]
-        parts = [codec.decode_postings(r.gaps, r.tfs, r.dls) for r in pdf.itertuples()]
-        d = np.concatenate([p[0].astype(np.int64) for p in parts])
-        t = np.concatenate([p[1] for p in parts])
-        dl = np.concatenate([p[2] for p in parts])
-        order = np.argsort(d, kind="stable")
-        d, t, dl = d[order], t[order], dl[order]
-        rows = []
-        for bno, start in enumerate(range(0, len(d), block_size)):
-            dd = d[start : start + block_size]
-            tt = t[start : start + block_size]
-            ddl = dl[start : start + block_size]
-            partial = ((k1 + 1.0) * tt) / (k1 * (1.0 - b + b * ddl / avgdl) + tt)
-            g_buf, t_buf, dl_buf = codec.encode_postings(dd.astype(np.uint64), tt, ddl)
-            rows.append(
-                (shard, term, bno, len(dd), int(dd[0]), int(dd[-1]),
-                 float(partial.max()), g_buf, t_buf, dl_buf)
+        frames = []
+        for (shard, term), g in pdf.groupby(["shard", "term"], sort=False):
+            parts = [codec.decode_postings(r.gaps, r.tfs, r.dls) for r in g.itertuples()]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "shard": int(shard),
+                        "term": term,
+                        "docno": np.concatenate([p[0].astype(np.int64) for p in parts]),
+                        "tf": np.concatenate([p[1] for p in parts]),
+                        "doc_len": np.concatenate([p[2] for p in parts]),
+                    }
+                )
             )
-        return pd.DataFrame(
-            rows,
-            columns=["shard", "term", "block_no", "n", "min_docno", "max_docno",
-                     "max_partial", "gaps", "tfs", "dls"],
-        )
+        if not frames:
+            return pd.DataFrame(columns=shards_mod._BLOCK_COLS)
+        flat = pd.concat(frames, ignore_index=True)
+        return shards_mod.encode_blocks_pdf(flat, avgdl, block_size)
 
-    return u.groupBy("shard", "term").applyInPandas(regroup, BLOCK_SCHEMA)
+    # same coarse grouping as the build: (shard, term-bucket), per-term
+    # split inside the kernel (see operators/shards.py)
+    return (
+        u.withColumn(
+            "_tb", F.pmod(F.xxhash64("term"), F.lit(shards_mod.TERM_BUCKETS))
+        )
+        .groupBy("shard", "_tb")
+        .applyInPandas(lambda pdf: regroup(pdf.drop(columns=["_tb"])), BLOCK_SCHEMA)
+    )
 
 
 def multi_pass_merge(

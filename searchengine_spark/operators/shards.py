@@ -59,6 +59,36 @@ BLOCK_SCHEMA = (
 )
 
 DEFAULT_BLOCK_SIZE = 128
+TERM_BUCKETS = 8
+
+_BLOCK_COLS = [
+    "shard", "term", "block_no", "n", "min_docno", "max_docno",
+    "max_partial", "gaps", "tfs", "dls",
+]
+
+
+def encode_blocks_pdf(pdf: pd.DataFrame, avgdl: float, block_size: int) -> pd.DataFrame:
+    """(shard, term, docno, tf, doc_len) rows → encoded block rows. All
+    terms in the frame are encoded; the per-term split is a pandas groupby
+    (C-level), docno sort done once up front."""
+    k1, b = K1, B
+    pdf = pdf.sort_values(["term", "docno"], kind="stable")
+    rows = []
+    for (shard, term), g in pdf.groupby(["shard", "term"], sort=False):
+        docnos_a = g["docno"].to_numpy(dtype=np.int64)
+        tfs = g["tf"].to_numpy(dtype=np.float64)
+        dls = g["doc_len"].to_numpy(dtype=np.float64)
+        for bno, start in enumerate(range(0, len(g), block_size)):
+            d = docnos_a[start : start + block_size]
+            t = tfs[start : start + block_size]
+            dl = dls[start : start + block_size]
+            partial = ((k1 + 1.0) * t) / (k1 * (1.0 - b + b * dl / avgdl) + t)
+            g_buf, t_buf, dl_buf = codec.encode_postings(d.astype(np.uint64), t, dl)
+            rows.append(
+                (int(shard), term, bno, len(d), int(d[0]), int(d[-1]),
+                 float(partial.max()), g_buf, t_buf, dl_buf)
+            )
+    return pd.DataFrame(rows, columns=_BLOCK_COLS)
 
 
 def assign_docnos(spark: SparkSession, doc_ids: DataFrame, n_parts: int = 32) -> DataFrame:
@@ -152,55 +182,20 @@ def build_sharded_index(
         "doc_len",
     )
 
-    k1, b = K1, B
+    def encode_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        return encode_blocks_pdf(pdf, avgdl, block_size)
 
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("docno")
-        shard = int(pdf["shard"].iloc[0])
-        term = pdf["term"].iloc[0]
-        docnos_a = pdf["docno"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.float64)
-        dls = pdf["doc_len"].to_numpy(dtype=np.float64)
-        rows = []
-        for bno, start in enumerate(range(0, len(pdf), block_size)):
-            d = docnos_a[start : start + block_size]
-            t = tfs[start : start + block_size]
-            dl = dls[start : start + block_size]
-            partial = ((k1 + 1.0) * t) / (k1 * (1.0 - b + b * dl / avgdl) + t)
-            g_buf, t_buf, dl_buf = codec.encode_postings(
-                d.astype(np.uint64), t, dl
-            )
-            rows.append(
-                (
-                    shard,
-                    term,
-                    bno,
-                    len(d),
-                    int(d[0]),
-                    int(d[-1]),
-                    float(partial.max()),
-                    g_buf,
-                    t_buf,
-                    dl_buf,
-                )
-            )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "shard",
-                "term",
-                "block_no",
-                "n",
-                "min_docno",
-                "max_docno",
-                "max_partial",
-                "gaps",
-                "tfs",
-                "dls",
-            ],
-        )
-
-    blocks = with_no.groupBy("shard", "term").applyInPandas(encode_group, BLOCK_SCHEMA)
+    # Group granularity: (shard, term-bucket), NOT (shard, term). One Arrow
+    # group per term would mean |vocab|·n_shards tiny groups — pure
+    # per-group overhead. A bucket carries ~1/TERM_BUCKETS of a shard's
+    # postings (bounded memory); the per-term split happens inside the
+    # kernel via pandas groupby (C-level). Head-term skew is already
+    # neutralized by doc-sharding, so buckets are near-uniform.
+    blocks = with_no.withColumn(
+        "_tb", F.pmod(F.xxhash64("term"), F.lit(TERM_BUCKETS))
+    ).groupBy("shard", "_tb").applyInPandas(
+        lambda pdf: encode_part(pdf.drop(columns=["_tb"])), BLOCK_SCHEMA
+    )
 
     docs = tables.docs.join(docnos, "doc_id").select(
         (F.col("docno") / shard_size).cast("int").alias("shard"),
