@@ -44,13 +44,17 @@ BENCH_DIR = os.environ.get("SPARK_GRAFT_BENCH_DIR", os.path.join(REPO, ".bench")
 
 
 def _ensure_corpus(spark, n_docs: int) -> str:
-    """Generate the web_pages corpus once; reuse across runs/parallelism."""
+    """Generate the web_pages corpus once; reuse across runs/parallelism.
+
+    Partition count is FIXED (128), not CPU-derived: the scaling comparison
+    reads the same files at local[8] and local[32], and a CPU-derived
+    layout generated under the smaller run would starve the larger one."""
     from searchengine_spark.sources import webgen
 
     path = os.path.join(BENCH_DIR, f"web_pages_{n_docs}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
-        webgen.generate_spark(spark, n_docs, partitions=max(CPUS * 2, 16)).write.mode(
+        webgen.generate_spark(spark, n_docs, partitions=128).write.mode(
             "overwrite"
         ).parquet(path)
     return path
@@ -76,6 +80,18 @@ def run_bench(cpus: int = CPUS, n_docs: int = N_DOCS, sf_dir: str = SF_DIR) -> d
     )
     queries["index_build"] = round(time.time() - t0, 3)
     docs_per_sec = round(n_docs / queries["index_build"], 1)
+
+    if os.environ.get("SPARK_GRAFT_BUILD_ONLY"):
+        return {
+            "metric": "index_build",
+            "value": queries["index_build"],
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+            "bench_docs": n_docs,
+            "cpus": cpus,
+            "docs_per_sec": docs_per_sec,
+        }
 
     t0 = time.time()
     engine = BM25SearchEngine(spark, tables)
@@ -123,13 +139,20 @@ def run_bench(cpus: int = CPUS, n_docs: int = N_DOCS, sf_dir: str = SF_DIR) -> d
     }
 
 
-def run_scaling(n_docs: int = N_DOCS) -> dict:
-    """Same job at local[8] vs local[32] on the same input → efficiency."""
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "120000"))
+
+
+def run_scaling(n_docs: int = SCALING_DOCS) -> dict:
+    """Same job at local[8] vs local[32] on the same input → efficiency.
+
+    Uses a larger corpus than the per-round bench so compute dominates the
+    fixed session/stage overhead that strong scaling amortizes."""
     out = {}
     for cpus in (8, 32):
         env = dict(os.environ)
         env["SPARK_GRAFT_CPUS"] = str(cpus)
         env["SPARK_GRAFT_BENCH_DOCS"] = str(n_docs)
+        env["SPARK_GRAFT_BUILD_ONLY"] = "1"
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             capture_output=True, text=True, env=env, cwd=REPO,

@@ -1,0 +1,213 @@
+"""Page classification + crawl-side predicates as Catalyst expressions.
+
+Spark re-expression of the reference's rule-based "is personal blog"
+classifier (classifier.py:41-196) and the crawler's URL predicates
+(crawler.py:131-157), SURVEY.md §2.2 F4/F6-F9/F11 and §2.4 A7. Everything
+except header/footer HTML extraction (F7, needs the tag-subtree parser) is
+a native column expression — `when`/`rlike`/`contains` chains that stay in
+whole-stage codegen; F7 rides the same Arrow UDF machinery as the content
+extractor.
+
+The reference classifies page-at-a-time dicts; here classification is a
+`withColumn` enrichment over the whole corpus, so the F10 "index only
+personal blogs" filter (indexer.py:191-194) becomes a pushable predicate.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from searchengine_spark.functions import textproc
+
+# classifier.py:42-54 — domain patterns that indicate a personal blog
+PERSONAL_DOMAIN_PATTERNS = [
+    r"\.substack\.com$", r"\.medium\.com$", r"\.wordpress\.com$",
+    r"\.blogspot\.com$", r"\.tumblr\.com$", r"\.ghost\.io$", r"\.github\.io$",
+    r"\.netlify\.app$", r"\.vercel\.app$", r"blog\.", r"\.blog$",
+]
+# classifier.py:57-69 — domain patterns that indicate NOT a personal blog
+NON_PERSONAL_DOMAIN_PATTERNS = [
+    r"\.gov$", r"\.edu$", r"news\.", r"\.com/news", r"wikipedia\.org$",
+    r"amazon\.com$", r"facebook\.com$", r"twitter\.com$", r"instagram\.com$",
+    r"linkedin\.com$", r"youtube\.com$",
+]
+# classifier.py:72-81 — content patterns suggesting a personal blog
+PERSONAL_CONTENT_PATTERNS = [
+    r"my (thoughts|journey|experience|story)", r"i (believe|think|feel)",
+    r"about me", r"my blog", r"written by", r"author", r"personal", r"opinion",
+]
+# crawler.py (config article_path_patterns) + crawler.py:146-155 date regexes
+ARTICLE_PATH_PATTERNS = [
+    "/blog/", "/article/", "/post/", "/posts/", "/entry/", "/entries/",
+    "/story/", "/stories/",
+]
+DATE_PATH_PATTERNS = [r"/\d{4}/\d{2}/\d{2}/", r"/\d{4}/\d{1,2}/", r"/\d{4}/"]
+# app.py:136 — result-domain exclusion set
+EXCLUDED_DOMAINS = [
+    "open.spotify.com", "spotify.com", "podcasts.apple.com", "podcasts.google.com",
+]
+
+THRESHOLD_HEADER = 0.8  # utils/config.py:72
+
+
+def netloc_col(url: Column) -> Column:
+    """lower(urlparse(url).netloc) (classifier.py:90) as a native regexp."""
+    return F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+
+
+def path_col(url: Column) -> Column:
+    """lower(urlparse(url).path) (crawler.py:138) as a native regexp."""
+    return F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)?", 1))
+
+
+def _any_rlike(col: Column, patterns: list[str]) -> Column:
+    out = F.lit(False)
+    for p in patterns:
+        out = out | col.rlike(p)
+    return out
+
+
+def is_article_url_col(url: Column) -> Column:
+    """F4 (crawler.py:131-157): article path substrings OR date path regex."""
+    p = path_col(url)
+    hit = F.lit(False)
+    for pat in ARTICLE_PATH_PATTERNS:
+        hit = hit | p.contains(pat)
+    return hit | _any_rlike(p, DATE_PATH_PATTERNS)
+
+
+def domain_class_col(url: Column) -> Column:
+    """F6 (classifier.py:83-100): True / False / NULL (uncertain). Personal
+    patterns win over non-personal, mirroring the reference's check order."""
+    d = netloc_col(url)
+    return (
+        F.when(_any_rlike(d, PERSONAL_DOMAIN_PATTERNS), F.lit(True))
+        .when(_any_rlike(d, NON_PERSONAL_DOMAIN_PATTERNS), F.lit(False))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+
+
+def content_confidence_col(text: Column) -> Column:
+    """F8 (classifier.py:126-142): confidence = min(0.5 + 0.1·matches, 0.9)
+    over the 8 personal-content regexes (lowercased match)."""
+    lowered = F.lower(text)
+    matches = sum(
+        (lowered.rlike(p)).cast("int") for p in PERSONAL_CONTENT_PATTERNS
+    )
+    return F.least(F.lit(0.5) + F.lit(0.1) * matches, F.lit(0.9))
+
+
+def excluded_domain_col(url: Column) -> Column:
+    """F11 (app.py:136-154): url contains any excluded domain (substring
+    on the lowercased url, exactly as the reference tests)."""
+    lowered = F.lower(url)
+    hit = F.lit(False)
+    for d in EXCLUDED_DOMAINS:
+        hit = hit | lowered.contains(d)
+    return hit
+
+
+# --- F7: header/footer text (HTML subtree extraction → Arrow UDF) ---
+_RE_HEADER_NAV = re.compile(
+    r"<(header|nav)\b[^>]*>(.*?)</\1\s*>", re.IGNORECASE | re.DOTALL
+)
+_RE_FOOTER = re.compile(r"<footer\b[^>]*>(.*?)</footer\s*>", re.IGNORECASE | re.DOTALL)
+
+
+def header_footer_text(html: str) -> str:
+    """classifier.py:102-124: concatenated get_text() of header/nav tags
+    then footer tags, whitespace-collapsed (header+' '+footer, stripped)."""
+    header = " ".join(
+        textproc.clean_text(m.group(2)) for m in _RE_HEADER_NAV.finditer(html)
+    )
+    footer = " ".join(
+        textproc.clean_text(m.group(1)) for m in _RE_FOOTER.finditer(html)
+    )
+    combined = (header + " " + footer).strip()
+    return re.sub(r"\s+", " ", combined)
+
+
+def content_confidence_py(text: str) -> float:
+    """Pure-Python twin of content_confidence_col (used inside the F9 UDF
+    for the header/footer branch and by the test oracle)."""
+    lowered = text.lower()
+    matches = sum(1 for p in PERSONAL_CONTENT_PATTERNS if re.search(p, lowered))
+    return min(0.5 + 0.1 * matches, 0.9)
+
+
+_CLASSIFY_SCHEMA = (
+    "url string, is_personal_blog boolean, confidence double, method string"
+)
+
+
+def classify_pages(pages: DataFrame) -> DataFrame:
+    """F9 (classifier.py:144-196): hierarchical domain → header/footer →
+    content classification. Domain step is a pure column expression;
+    the header/content steps need extracted text, so they run in the same
+    Arrow pass as extraction. Output: one row per page with the reference's
+    (is_personal_blog, confidence, method) triple."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, html_b in zip(pdf["url"], pdf["html"]):
+                html = (
+                    html_b.decode("utf-8", errors="replace")
+                    if isinstance(html_b, (bytes, bytearray))
+                    else (html_b or "")
+                )
+                rows.append(_classify_one(url, html))
+            yield pd.DataFrame(
+                rows, columns=["url", "is_personal_blog", "confidence", "method"]
+            )
+
+    return pages.mapInPandas(run, _CLASSIFY_SCHEMA)
+
+
+def _domain_class_py(url: str):
+    m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", url)
+    domain = (m.group(1) if m else "").lower()
+    for p in PERSONAL_DOMAIN_PATTERNS:
+        if re.search(p, domain):
+            return True
+    for p in NON_PERSONAL_DOMAIN_PATTERNS:
+        if re.search(p, domain):
+            return False
+    return None
+
+
+def _classify_one(url: str, html: str):
+    """Single-page hierarchical classification (classifier.py:144-196);
+    shared by the Arrow UDF and the test oracle so semantics cannot drift."""
+    domain_result = _domain_class_py(url)
+    if domain_result is not None:
+        return (url, domain_result, 0.9, "domain_pattern")
+    hf = header_footer_text(html)
+    if hf:
+        conf = content_confidence_py(hf)
+        if conf > THRESHOLD_HEADER:
+            return (url, conf >= 0.6, conf, "header_footer")
+    title = textproc.extract_title_from_html(html)
+    meta = textproc.extract_meta_description(html)
+    content = textproc.extract_text_from_html(html)[:2000]
+    conf = content_confidence_py(f"{title} {meta} {content}")
+    if conf < 0.6:
+        return (url, True, 0.65, "content")
+    return (url, conf >= 0.6, conf, "content")
+
+
+def domain_stats(pages: DataFrame, top_n: int = 10) -> DataFrame:
+    """A7 (crawler.py:199-208, 309-311): pages-per-domain, top N. Domain
+    here is T5's extract_domain (www-stripped), matching crawler reporting."""
+    dom = F.regexp_extract("url", r"https?://(?:www\.)?([^/]+)", 1)
+    return (
+        pages.groupBy(dom.alias("domain"))
+        .agg(F.count("*").alias("n_pages"))
+        .orderBy(F.desc("n_pages"), F.asc("domain"))
+        .limit(top_n)
+    )
