@@ -1,0 +1,116 @@
+"""Hybrid BM25+embedding path (plans/hybrid.py) vs a straight-line Python
+oracle of optimized_indexer.py:119-203 / bert_embeddings.py:188-226
+semantics, using the same deterministic stand-in encoder on both sides."""
+
+import math
+
+import numpy as np
+import pytest
+
+from searchengine_spark.operators import index_build
+from searchengine_spark.plans.bm25 import BM25SearchEngine
+from searchengine_spark.plans.hybrid import (
+    BM25_WEIGHT,
+    EMB_WEIGHT,
+    HybridSearchEngine,
+    _hash_embed,
+    build_doc_embeddings,
+)
+from searchengine_spark.sources import webgen
+
+N_DOCS = 200
+QUERIES = [(i, q) for i, (_, q) in enumerate(webgen.reference_queries()[:6])]
+
+
+@pytest.fixture(scope="module")
+def spark_index(spark):
+    pages = spark.createDataFrame(webgen.generate_pandas(N_DOCS))
+    tables = index_build.build_index(pages)
+    for name in ("docs", "postings", "doc_stats", "term_stats", "stats"):
+        setattr(tables, name, getattr(tables, name).cache())
+    return tables
+
+
+@pytest.fixture(scope="module")
+def engine(spark, spark_index):
+    eng = HybridSearchEngine(spark, spark_index)
+    eng.embeddings = eng.embeddings.cache()
+    return eng
+
+
+def test_embeddings_normalized(engine):
+    rows = engine.embeddings.collect()
+    assert len(rows) == N_DOCS
+    for r in rows[:20]:
+        v = np.array(r["embedding"])
+        assert v.shape == (384,)
+        assert math.isclose(float(np.linalg.norm(v)), 1.0, rel_tol=1e-5)
+
+
+def test_embedding_build_matches_standalone(spark, spark_index, engine):
+    docs = {r["doc_id"]: r for r in spark_index.docs.collect()}
+    got = {r["doc_id"]: np.array(r["embedding"]) for r in engine.embeddings.collect()}
+    for doc_id, row in list(docs.items())[:25]:
+        text = (
+            f"{row['title']} {row['title']} {row['description']} "
+            f"{row['content_snippet']}"
+        )
+        want = _hash_embed(text)
+        assert np.allclose(got[doc_id], want, atol=1e-6), doc_id
+
+
+def _oracle_hybrid(spark, spark_index, queries, top_k):
+    """Python reimplementation of the combine (optimized_indexer.py:119-169):
+    BM25 2k candidates (from the pinned exhaustive engine), sims over ALL
+    docs → top-k, intersection-weighted, sort desc, slice k."""
+    docs = spark_index.docs.collect()
+    embs = {
+        r["doc_id"]: _hash_embed(
+            f"{r['title']} {r['title']} {r['description']} {r['content_snippet']}"
+        )
+        for r in docs
+    }
+    bm25 = BM25SearchEngine(spark, spark_index).search_batch(
+        queries, top_k=2 * top_k, with_metadata=False
+    )
+    bm25_by_q = {}
+    for r in bm25.collect():
+        bm25_by_q.setdefault(r["query_id"], {})[r["doc_id"]] = r["score"]
+    out = {}
+    for qid, qtext in queries:
+        qv = _hash_embed(qtext)
+        sims = {
+            d: 1.0 / (1.0 + (2.0 - 2.0 * float(np.dot(v, qv)))) for d, v in embs.items()
+        }
+        emb_topk = dict(
+            sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+        )
+        combined = [
+            (d, BM25_WEIGHT * s + EMB_WEIGHT * emb_topk[d])
+            for d, s in bm25_by_q.get(qid, {}).items()
+            if d in emb_topk
+        ]
+        combined.sort(key=lambda kv: (-kv[1], kv[0]))
+        out[qid] = combined[:top_k]
+    return out
+
+
+def test_hybrid_matches_oracle(spark, spark_index, engine):
+    top_k = 5
+    got_df = engine.search_batch(QUERIES, top_k=top_k)
+    got = {}
+    for r in got_df.collect():
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    want = _oracle_hybrid(spark, spark_index, QUERIES, top_k)
+    for qid in want:
+        g, w = got.get(qid, []), want[qid]
+        assert [d for d, _ in g] == [d for d, _ in w], qid
+        for (_, gs), (_, ws) in zip(g, w):
+            assert math.isclose(gs, ws, rel_tol=1e-6), qid
+
+
+def test_query_embed_differs_from_doc_embed(spark, spark_index):
+    """Guard: embedding text composition is doc-side only (title doubled);
+    the query side encodes the raw query string."""
+    e = build_doc_embeddings(spark_index.docs)
+    assert e.columns == ["doc_id", "embedding"]
