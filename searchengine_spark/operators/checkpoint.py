@@ -82,9 +82,7 @@ def checkpointed_tokenize(
             spark.read.parquet(out_dir)
             .agg(
                 F.count("*").alias("n_docs"),
-                F.sum(
-                    F.size("title_toks") + F.size("meta_toks") + F.size("content_toks")
-                ).alias("n_tokens"),
+                F.sum("n_tokens").alias("n_tokens"),
                 F.sum(F.length("content_snippet")).alias("n_chars"),
             )
             .collect()[0]

@@ -14,11 +14,13 @@ content string is dropped here (only the 200-char snippet survives), which
 bounds row width no matter how large the page is. This stage is
 embarrassingly parallel, and is the checkpoint/resume granularity.
 
-**Stage 2 — aggregate** (``build_index_tables``): all-native Catalyst ops —
-explode(token⊗weight) → groupBy(doc_id, term) partial+final hash agg → tf;
-groupBy(term) → df/idf; scalar stats. The (doc_id, term) key is md5-uniform
-(no skew); the per-term grouping (posting *blocks*, operators/codec.py) is
-Zipf-skewed and handled there by doc_id-prefix salting.
+**Stage 2 — aggregate** (``build_index_tables``): all-native Catalyst ops.
+The per-doc weighted tf map (A1, indexer.py:92-107) aggregates only within
+one document, so stage 1 computes it map-side; stage 2 is a pure explode
+(no (doc,term) shuffle exists anywhere). The only shuffles in the build
+are the final repartition-by-term for the sorted posting layout and the
+per-term df aggregation; Zipf head-term skew in the posting *blocks*
+(operators/shards.py) is handled by doc-range sharding.
 
 ``build_and_write_index`` materializes stage 1 to parquet before the five
 table writes so extraction runs exactly once (and resume can pick up from
@@ -42,6 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -63,9 +66,18 @@ TOKENIZED_SCHEMA = StructType(
         StructField("title", StringType()),
         StructField("description", StringType()),
         StructField("content_snippet", StringType()),
-        StructField("title_toks", ArrayType(StringType())),
-        StructField("meta_toks", ArrayType(StringType())),
-        StructField("content_toks", ArrayType(StringType())),
+        StructField(
+            "tf_terms",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("term", StringType()),
+                        StructField("tf", DoubleType()),
+                    ]
+                )
+            ),
+        ),
+        StructField("n_tokens", LongType()),
         StructField("doc_len", DoubleType()),
     ]
 )
@@ -114,6 +126,13 @@ def tokenize_documents(
                 tt = textproc.filter_tokens(textproc.tokenize(title), stop)
                 mt = textproc.filter_tokens(textproc.tokenize(meta), stop)
                 ct = textproc.filter_tokens(textproc.tokenize(content), stop)
+                # per-doc field-weighted tf map (indexer.py:92-107) — A1 is
+                # a WITHIN-row aggregation, so it is computed map-side here
+                # and the posting build needs no (doc, term) shuffle at all
+                tf: dict[str, float] = {}
+                for toks, w in ((tt, TITLE_BOOST), (mt, META_BOOST), (ct, CONTENT_WEIGHT)):
+                    for tok in toks:
+                        tf[tok] = tf.get(tok, 0.0) + w
                 rows.append(
                     (
                         textproc.doc_id_for_url(url),
@@ -121,9 +140,8 @@ def tokenize_documents(
                         title,
                         meta,
                         textproc.make_snippet(content),
-                        tt,
-                        mt,
-                        ct,
+                        list(tf.items()),
+                        len(tt) + len(mt) + len(ct),
                         TITLE_BOOST * len(tt)
                         + META_BOOST * len(mt)
                         + CONTENT_WEIGHT * len(ct),
@@ -135,32 +153,20 @@ def tokenize_documents(
 
 
 def term_frequencies(tokenized: DataFrame) -> DataFrame:
-    """Field-weighted tf (indexer.py:92-107): one exploded row per token
-    occurrence carrying its field weight, hash-aggregated per (doc_id, term)
-    with map-side partials. doc_len rides the group key (functionally
-    dependent on doc_id) so postings come out denormalized."""
-    weighted = tokenized.select(
+    """Field-weighted tf (indexer.py:92-107). The tf map is computed
+    within-row in stage 1 (A1 aggregates over ONE document's tokens, never
+    across rows), so this is a pure map-side explode — NO shuffle. The only
+    shuffle in the whole posting build is the final repartition-by-term for
+    the term-sorted layout."""
+    return tokenized.select(
         "doc_id",
         "doc_len",
-        F.explode(
-            F.concat(
-                F.transform(
-                    "title_toks",
-                    lambda t: F.struct(t.alias("term"), F.lit(TITLE_BOOST).alias("weight")),
-                ),
-                F.transform(
-                    "meta_toks",
-                    lambda t: F.struct(t.alias("term"), F.lit(META_BOOST).alias("weight")),
-                ),
-                F.transform(
-                    "content_toks",
-                    lambda t: F.struct(t.alias("term"), F.lit(CONTENT_WEIGHT).alias("weight")),
-                ),
-            )
-        ).alias("tw"),
-    )
-    return weighted.groupBy("doc_id", "doc_len", F.col("tw.term").alias("term")).agg(
-        F.sum("tw.weight").alias("tf")
+        F.explode("tf_terms").alias("tw"),
+    ).select(
+        "doc_id",
+        "doc_len",
+        F.col("tw.term").alias("term"),
+        F.col("tw.tf").alias("tf"),
     )
 
 
@@ -219,7 +225,7 @@ def build_index(documents_or_pages: DataFrame) -> IndexTables:
     cols = set(documents_or_pages.columns)
     if {"html", "url"} <= cols:
         tokenized = tokenize_documents(documents_or_pages)
-    elif {"title_toks", "doc_len"} <= cols:
+    elif {"tf_terms", "doc_len"} <= cols:
         tokenized = documents_or_pages
     else:
         raise ValueError(f"unrecognized input columns: {sorted(cols)}")
@@ -256,13 +262,56 @@ def build_and_write_index(
     The ``tokenized`` intermediate is itself a table (kept at
     ``{path}/tokenized``) — it is the resume point for checkpointed builds
     (operators/checkpoint.py) and the input to posting-block compaction.
+
+    Each expensive computation runs exactly once: the tf aggregation (the
+    big shuffle) feeds the postings write, and term_stats/stats derive
+    from the *written* postings/doc_stats parquet (cheap column scans)
+    instead of re-running the aggregation — at 100 TB the tf agg is hours,
+    so recomputing it per output table is not an option.
     """
     tokenize_documents(pages, use_precomputed_text=use_precomputed_text).write.mode(
         "overwrite"
     ).parquet(f"{path}/tokenized")
     tokenized = spark.read.parquet(f"{path}/tokenized")
-    tables = build_index_tables(tokenized)
-    write_index(tables, path, postings_partitions)
+
+    tokenized.select(
+        "doc_id", "url", "title", "description", "content_snippet"
+    ).write.mode("overwrite").parquet(f"{path}/docs")
+    tokenized.select("doc_id", "doc_len").write.mode("overwrite").parquet(
+        f"{path}/doc_stats"
+    )
+    doc_stats = spark.read.parquet(f"{path}/doc_stats")
+    doc_stats.agg(
+        F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+    (
+        term_frequencies(tokenized)
+        .select("term", "doc_id", "tf", "doc_len")
+        .repartition(postings_partitions, "term")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
+    postings = spark.read.parquet(f"{path}/postings")
+    stats = spark.read.parquet(f"{path}/stats")
+    (
+        postings.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "term",
+            "df",
+            F.greatest(
+                F.lit(0.0),
+                F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+            ).alias("idf"),
+        )
+        .repartition(max(1, postings_partitions // 4), "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(f"{path}/term_stats")
+    )
     return read_index(spark, path)
 
 

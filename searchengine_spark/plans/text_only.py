@@ -35,6 +35,9 @@ def tokenize_text_documents(
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 content = text or ""
                 ct = textproc.filter_tokens(textproc.tokenize(content), stop)
+                tf: dict[str, float] = {}
+                for tok in ct:
+                    tf[tok] = tf.get(tok, 0.0) + 1.0
                 rows.append(
                     (
                         str(doc_id),
@@ -42,9 +45,8 @@ def tokenize_text_documents(
                         "",
                         "",
                         textproc.make_snippet(content),
-                        [],
-                        [],
-                        ct,
+                        list(tf.items()),
+                        len(ct),
                         float(len(ct)),
                     )
                 )
