@@ -218,6 +218,52 @@ def extract_documents(pages: DataFrame, use_precomputed_text: bool = True) -> Da
     )
 
 
+def tokenize_extracted_documents(
+    documents: DataFrame, stopwords: frozenset[str] = DEFAULT_STOPWORDS
+) -> DataFrame:
+    """:func:`extract_documents` output → the stage-1 tokenized shape.
+
+    Same field-boosted tf semantics as :func:`tokenize_documents`, minus the
+    HTML extraction (already done). Lets callers split extraction from
+    tokenization — e.g. to persist the extracted fields as their own table."""
+    stop = stopwords
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, url, title, meta, content in zip(
+                pdf["doc_id"],
+                pdf["url"],
+                pdf["title"],
+                pdf["meta_description"],
+                pdf["content"],
+            ):
+                tt = textproc.filter_tokens(textproc.tokenize(title or ""), stop)
+                mt = textproc.filter_tokens(textproc.tokenize(meta or ""), stop)
+                ct = textproc.filter_tokens(textproc.tokenize(content or ""), stop)
+                tf: dict[str, float] = {}
+                for toks, w in ((tt, TITLE_BOOST), (mt, META_BOOST), (ct, CONTENT_WEIGHT)):
+                    for tok in toks:
+                        tf[tok] = tf.get(tok, 0.0) + w
+                rows.append(
+                    (
+                        doc_id,
+                        url,
+                        title or "",
+                        meta or "",
+                        textproc.make_snippet(content or ""),
+                        list(tf.items()),
+                        len(tt) + len(mt) + len(ct),
+                        TITLE_BOOST * len(tt)
+                        + META_BOOST * len(mt)
+                        + CONTENT_WEIGHT * len(ct),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in TOKENIZED_SCHEMA.fields])
+
+    return documents.mapInPandas(process, TOKENIZED_SCHEMA)
+
+
 def build_index(documents_or_pages: DataFrame) -> IndexTables:
     """Build the logical index directly from a web_pages frame (detects the
     input shape). Prefer :func:`build_and_write_index` for persisted builds —
@@ -227,6 +273,8 @@ def build_index(documents_or_pages: DataFrame) -> IndexTables:
         tokenized = tokenize_documents(documents_or_pages)
     elif {"tf_terms", "doc_len"} <= cols:
         tokenized = documents_or_pages
+    elif {"doc_id", "title", "meta_description", "content"} <= cols:
+        tokenized = tokenize_extracted_documents(documents_or_pages)
     else:
         raise ValueError(f"unrecognized input columns: {sorted(cols)}")
     return build_index_tables(tokenized)

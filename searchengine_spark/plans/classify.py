@@ -201,6 +201,67 @@ def _classify_one(url: str, html: str):
     return (url, conf >= 0.6, conf, "content")
 
 
+# --- F5: link extraction (crawler.py:159-191) ---
+_RE_HREF = re.compile(r"""<a\b[^>]*\bhref\s*=\s*("([^"]*)"|'([^']*)')""", re.IGNORECASE)
+
+
+def extract_links(url: str, html: str) -> list[str]:
+    """All <a href> targets resolved against the page url, http(s)-only,
+    fragments dropped, query strings kept (crawler.py:159-191 semantics
+    via urljoin/urlparse — the same stdlib calls the reference makes)."""
+    from urllib.parse import urljoin, urlparse
+
+    links = []
+    for m in _RE_HREF.finditer(html):
+        href = m.group(2) if m.group(2) is not None else m.group(3)
+        try:
+            full = urljoin(url, href)
+            p = urlparse(full)
+            if p.scheme in ("http", "https") and p.netloc:
+                clean = f"{p.scheme}://{p.netloc}{p.path}"
+                if p.query:
+                    clean += f"?{p.query}"
+                links.append(clean)
+        except Exception:
+            continue
+    return links
+
+
+def outlinks(pages: DataFrame) -> DataFrame:
+    """F5 as a dataflow: one row per (src_url, out_url) — an Arrow pass
+    producing the link array, exploded JVM-side. The crawl frontier's
+    'expand then dedup against visited' (crawler.py:320-325 + F1/F2) maps
+    to this followed by a left-anti join against the processed-urls table."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for u, h in zip(pdf["url"], pdf["html"]):
+                html = (
+                    h.decode("utf-8", errors="replace")
+                    if isinstance(h, (bytes, bytearray))
+                    else (h or "")
+                )
+                outs.append(extract_links(u, html))
+            yield pd.DataFrame({"url": pdf["url"], "links": outs})
+
+    linked = pages.mapInPandas(run, "url string, links array<string>")
+    return linked.select(
+        F.col("url").alias("src_url"), F.explode("links").alias("out_url")
+    )
+
+
+def crawl_frontier(pages: DataFrame, visited: DataFrame) -> DataFrame:
+    """F1/F2 re-expression: next-depth frontier = distinct outlinks minus
+    already-visited urls (left-anti join — the distributed visited-set)."""
+    return (
+        outlinks(pages)
+        .select(F.col("out_url").alias("url"))
+        .distinct()
+        .join(visited.select("url"), "url", "left_anti")
+    )
+
+
 def domain_stats(pages: DataFrame, top_n: int = 10) -> DataFrame:
     """A7 (crawler.py:199-208, 309-311): pages-per-domain, top N. Domain
     here is T5's extract_domain (www-stripped), matching crawler reporting."""

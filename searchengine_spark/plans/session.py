@@ -34,6 +34,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow batch size balances python-worker memory vs per-batch overhead
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Input-split granularity: default 128MB gives a GB-scale corpus
+        # too few map tasks to saturate 32 cores (and the mapInPandas
+        # tokenize stage inherits file-split parallelism). 32MB keeps
+        # every core busy at local scale; at cluster scale the same knob
+        # is sized so splits ≈ 2-4× total cores.
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

@@ -141,6 +141,32 @@ def test_classify_handcrafted_pages(spark):
     assert shop["is_personal_blog"] is True and shop["confidence"] == 0.65
 
 
+def test_extract_links_semantics():
+    html = (
+        '<a href="/blog/next">n</a> <a href=\'https://other.com/p?q=1#frag\'>o</a>'
+        ' <a href="mailto:x@y.z">m</a> <a name="noref">skip</a>'
+        ' <a href="#section">frag-only</a>'
+    )
+    got = classify.extract_links("https://example.com/blog/cur", html)
+    assert got == [
+        "https://example.com/blog/next",
+        "https://other.com/p?q=1",  # fragment dropped, query kept
+        "https://example.com/blog/cur",  # "#section" resolves to self, no frag
+    ]
+
+
+def test_outlinks_and_frontier(spark):
+    pages = spark.createDataFrame(webgen.generate_pandas(40))
+    out = classify.outlinks(pages)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r["out_url"].startswith("http") and "#" not in r["out_url"] for r in rows)
+    visited = pages.select("url")
+    frontier = classify.crawl_frontier(pages, visited).collect()
+    visited_set = {r["url"] for r in visited.collect()}
+    assert all(r["url"] not in visited_set for r in frontier)
+
+
 def test_domain_stats(spark):
     pdf = webgen.generate_pandas(150)
     pages = spark.createDataFrame(pdf)
