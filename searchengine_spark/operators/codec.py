@@ -26,14 +26,22 @@ import numpy as np
 _THRESHOLDS = [1 << (7 * k) for k in range(1, 10)]
 
 
+def varint_byte_counts(values: np.ndarray) -> np.ndarray:
+    """Per-value encoded byte count (LEB128) — lets callers slice a
+    concatenated encode into sub-ranges without re-encoding."""
+    v = np.asarray(values, dtype=np.uint64)
+    nb = np.ones(v.shape, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nb += (v >= np.uint64(t)).astype(np.int64)
+    return nb
+
+
 def varint_encode(values: np.ndarray) -> bytes:
     """LEB128-encode a uint64 array."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    nb = np.ones(v.shape, dtype=np.int64)
-    for t in _THRESHOLDS:
-        nb += (v >= np.uint64(t)).astype(np.int64)
+    nb = varint_byte_counts(v)
     offsets = np.concatenate(([0], np.cumsum(nb)[:-1]))
     total = int(nb.sum())
     out = np.zeros(total, dtype=np.uint8)

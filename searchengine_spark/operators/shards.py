@@ -68,27 +68,72 @@ _BLOCK_COLS = [
 
 
 def encode_blocks_pdf(pdf: pd.DataFrame, avgdl: float, block_size: int) -> pd.DataFrame:
-    """(shard, term, docno, tf, doc_len) rows → encoded block rows. All
-    terms in the frame are encoded; the per-term split is a pandas groupby
-    (C-level), docno sort done once up front."""
+    """(shard, term, docno, tf, doc_len) rows → encoded block rows.
+
+    Fully vectorized across the WHOLE frame (no per-term or per-block numpy
+    calls — at 1M docs a term-bucket group holds ~10⁴ terms / ~10⁴ blocks,
+    and per-block ``encode_postings`` calls were the build's hot spot): block
+    boundaries come from run-length structure over the (shard, term)-sorted
+    frame, each varint stream is encoded ONCE for the whole frame, and
+    per-block buffers are byte-range slices (LEB128 is per-value independent,
+    so slices are byte-identical to per-block encodes)."""
+    if len(pdf) == 0:
+        return pd.DataFrame(columns=_BLOCK_COLS)
     k1, b = K1, B
-    pdf = pdf.sort_values(["term", "docno"], kind="stable")
-    rows = []
-    for (shard, term), g in pdf.groupby(["shard", "term"], sort=False):
-        docnos_a = g["docno"].to_numpy(dtype=np.int64)
-        tfs = g["tf"].to_numpy(dtype=np.float64)
-        dls = g["doc_len"].to_numpy(dtype=np.float64)
-        for bno, start in enumerate(range(0, len(g), block_size)):
-            d = docnos_a[start : start + block_size]
-            t = tfs[start : start + block_size]
-            dl = dls[start : start + block_size]
-            partial = ((k1 + 1.0) * t) / (k1 * (1.0 - b + b * dl / avgdl) + t)
-            g_buf, t_buf, dl_buf = codec.encode_postings(d.astype(np.uint64), t, dl)
-            rows.append(
-                (int(shard), term, bno, len(d), int(d[0]), int(d[-1]),
-                 float(partial.max()), g_buf, t_buf, dl_buf)
-            )
-    return pd.DataFrame(rows, columns=_BLOCK_COLS)
+    pdf = pdf.sort_values(["shard", "term", "docno"], kind="stable")
+    shards_a = pdf["shard"].to_numpy(dtype=np.int32)
+    terms = pdf["term"].to_numpy()
+    docnos = pdf["docno"].to_numpy(dtype=np.int64)
+    tfs = pdf["tf"].to_numpy(dtype=np.float64)
+    dls = pdf["doc_len"].to_numpy(dtype=np.float64)
+    n = len(pdf)
+
+    tfs_u = tfs.astype(np.uint64)
+    dls_u = dls.astype(np.uint64)
+    if not (np.all(tfs_u == tfs) and np.all(dls_u == dls)):
+        raise ValueError("non-integral tf/doc_len cannot be varint-quantized")
+
+    # run/block structure over the sorted frame
+    new_run = np.ones(n, dtype=bool)
+    new_run[1:] = (terms[1:] != terms[:-1]) | (shards_a[1:] != shards_a[:-1])
+    run_id = np.cumsum(new_run) - 1
+    run_starts = np.flatnonzero(new_run)
+    pos_in_run = np.arange(n, dtype=np.int64) - run_starts[run_id]
+    block_no = pos_in_run // block_size
+    new_block = new_run | (pos_in_run % block_size == 0)
+    bstarts = np.flatnonzero(new_block)
+    bends = np.append(bstarts[1:], n)
+
+    # within-block delta gaps (first element of each block keeps its docno)
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[1:] = docnos[1:] - docnos[:-1]
+    gaps[bstarts] = docnos[bstarts]
+
+    partial = ((k1 + 1.0) * tfs) / (k1 * (1.0 - b + b * dls / avgdl) + tfs)
+    max_partial = np.maximum.reduceat(partial, bstarts)
+
+    def _block_slices(vals: np.ndarray) -> list[bytes]:
+        buf = codec.varint_encode(vals)
+        ends_b = np.cumsum(codec.varint_byte_counts(vals))
+        lo = (ends_b[bstarts] - codec.varint_byte_counts(vals[bstarts])).tolist()
+        hi = ends_b[bends - 1].tolist()
+        return [buf[a:z] for a, z in zip(lo, hi)]
+
+    return pd.DataFrame(
+        {
+            "shard": shards_a[bstarts],
+            "term": terms[bstarts],
+            "block_no": block_no[bstarts].astype(np.int32),
+            "n": (bends - bstarts).astype(np.int32),
+            "min_docno": docnos[bstarts],
+            "max_docno": docnos[bends - 1],
+            "max_partial": max_partial,
+            "gaps": _block_slices(gaps.astype(np.uint64)),
+            "tfs": _block_slices(tfs_u),
+            "dls": _block_slices(dls_u),
+        },
+        columns=_BLOCK_COLS,
+    )
 
 
 def assign_docnos(spark: SparkSession, doc_ids: DataFrame, n_parts: int = 32) -> DataFrame:
@@ -217,6 +262,115 @@ def build_sharded_index(
         shard_size=shard_size,
         block_size=block_size,
     )
+
+
+def build_and_write_sharded(
+    spark: SparkSession,
+    pages: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    use_precomputed_text: bool = True,
+) -> ShardedIndex:
+    """One-pass production indexing pipeline: web_pages → compressed sharded
+    index, WITHOUT materializing the raw postings table.
+
+    The raw (term, doc_id, tf, doc_len) posting rows are ~10x the bytes of
+    the encoded blocks (a 32-char hex doc_id on every posting); at 100 TB
+    writing them out just to re-read, re-shuffle and encode is the dominant
+    cost of the two-step build. Here posting rows exist only inside ONE
+    shuffle (the groupBy(shard, term-bucket) exchange feeding the encode
+    kernel):
+
+    1. stage 1 tokenize (map-only) → persisted ``tokenized``
+    2. docno assignment over the (small) doc_id set; joined to ``tokenized``
+       BEFORE the explode — the join moves 1 row/doc, never 1 row/posting
+       (broadcast below 20M docs, doc-keyed shuffle join beyond)
+    3. explode → groupBy(shard, term-bucket) → Arrow encode kernel →
+       block rows written directly, term-sorted within partitions
+    4. docs re-derived from ``tokenized`` (cheap column scan); term_stats
+       derived from the *written* blocks (Σ n per term == df, since tf rows
+       are unique per (doc, term)) — never re-touching posting rows
+    """
+    from searchengine_spark.operators.index_build import tokenize_documents
+
+    tokenize_documents(pages, use_precomputed_text=use_precomputed_text).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/tokenized")
+    tokenized = spark.read.parquet(f"{path}/tokenized")
+
+    st = tokenized.agg(
+        F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
+    shard_size = max(1, math.ceil(n_docs / n_shards))
+
+    docnos = assign_docnos(spark, tokenized.select("doc_id"))
+    if n_docs <= 20_000_000:
+        docnos = F.broadcast(docnos)
+    tk = tokenized.join(docnos, "doc_id").withColumn(
+        "shard", (F.col("docno") / shard_size).cast("int")
+    )
+
+    exploded = tk.select(
+        "shard", "docno", "doc_len", F.explode("tf_terms").alias("tw")
+    ).select(
+        "shard",
+        F.col("tw.term").alias("term"),
+        "docno",
+        F.col("tw.tf").alias("tf"),
+        "doc_len",
+    )
+    (
+        exploded.withColumn("_tb", F.pmod(F.xxhash64("term"), F.lit(TERM_BUCKETS)))
+        .groupBy("shard", "_tb")
+        .applyInPandas(
+            lambda pdf: encode_blocks_pdf(pdf.drop(columns=["_tb"]), avgdl, block_size),
+            BLOCK_SCHEMA,
+        )
+        .sortWithinPartitions("term", "shard", "block_no")
+        .write.mode("overwrite")
+        .parquet(f"{path}/blocks")
+    )
+
+    (
+        tk.select(
+            "shard", "docno", "doc_id", "url", "title", "description", "content_snippet"
+        )
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "docno")
+        .write.mode("overwrite")
+        .parquet(f"{path}/docs_sharded")
+    )
+
+    blocks = spark.read.parquet(f"{path}/blocks")
+    (
+        blocks.groupBy("term")
+        .agg(F.sum("n").cast("long").alias("df"))
+        .select(
+            "term",
+            "df",
+            F.greatest(
+                F.lit(0.0),
+                F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+            ).alias("idf"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/term_stats")
+    )
+
+    with open(f"{path}/meta.json", "w") as f:
+        json.dump(
+            {
+                "n_docs": n_docs,
+                "avgdl": avgdl,
+                "n_shards": n_shards,
+                "shard_size": shard_size,
+                "block_size": block_size,
+            },
+            f,
+        )
+    return read_sharded_index(spark, path)
 
 
 def write_sharded_index(index: ShardedIndex, path: str) -> None:

@@ -599,6 +599,59 @@ def q_ann_lsh_bucketed(spark, sf_dir) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- dedup: embedding-cosine near-dup
+def q_embedding_neardup(spark, sf_dir) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-banded: the 4 hyperplane
+    sign bits split into 2 bands of 2 bits; docs sharing ANY band bucket are
+    candidates (band explode → self-join on (band, key) — the shuffle IS the
+    bucketing, no O(n²) pair scan); exact cosine keeps pairs ≥ 0.4. At 10⁹
+    vectors the band join is the scale path; recall is the standard banded-
+    LSH bound 1-(1-p²)² for per-plane agreement probability p."""
+    e = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
+    )
+    bits = []
+    for j in range(N_PLANES):
+        plane = F.array(*[F.lit(c) for c in HYPERPLANES[j]])
+        bits.append(F.when(dot(F.col("v"), plane) > 0, F.lit(1)).otherwise(F.lit(0)))
+    bands = e.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), (bits[0] + 2 * bits[1]).alias("key")),
+                F.struct(F.lit(1).alias("band"), (bits[2] + 2 * bits[3]).alias("key")),
+            )
+        ).alias("b"),
+    ).select("vec_id", "v", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    denom = F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    sim = F.when(denom != 0, dot(F.col("va"), F.col("vb")) / denom)
+    return (
+        cand.select("vec_a", "vec_b", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.4)
+        .select("vec_a", "vec_b", F.round("sim", 5).alias("sim"))
+    )
+
+
 def _sql_plane(j: int) -> str:
     return "list_value(" + ", ".join(str(c) for c in HYPERPLANES[j]) + ")"
 
@@ -607,6 +660,32 @@ _SQL_BUCKET = " + ".join(
     f"(CASE WHEN list_dot_product(v, {_sql_plane(j)}) > 0 THEN {1 << j} ELSE 0 END)"
     for j in range(N_PLANES)
 )
+def _sql_bit(j: int) -> str:
+    return f"(CASE WHEN list_dot_product(v, {_sql_plane(j)}) > 0 THEN 1 ELSE 0 END)"
+
+
+SQL_EMBEDDING_NEARDUP = f"""WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+keys AS (SELECT vec_id, v,
+  {_sql_bit(0)} + 2 * {_sql_bit(1)} AS k0,
+  {_sql_bit(2)} + 2 * {_sql_bit(3)} AS k1 FROM e),
+bands AS (
+  SELECT vec_id, v, band, CASE band WHEN 0 THEN k0 ELSE k1 END AS key
+  FROM keys CROSS JOIN (SELECT unnest([0, 1]) AS band)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         FIRST(a.v) AS va, FIRST(b.v) AS vb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id)
+SELECT vec_a, vec_b, ROUND(sim, 5) AS sim FROM (
+  SELECT vec_a, vec_b,
+         list_dot_product(va, vb)
+         / NULLIF(sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)), 0) AS sim
+  FROM cand)
+WHERE sim >= 0.4"""
+
+
 SQL_ANN_LSH_BUCKETED = f"""WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 b AS (SELECT vec_id, v, {_SQL_BUCKET} AS bucket FROM e),
@@ -687,6 +766,7 @@ QUERIES = {
     "lang_id_heuristic": q_lang_id_heuristic,
     "token_count_regex": q_token_count_regex,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
+    "embedding_neardup": q_embedding_neardup,
     "bm25_stemmed_topk": q_bm25_stemmed_topk,
     "wand_stemmed_topk": q_wand_stemmed_topk,
     "multimodal_features": q_multimodal_features,
@@ -711,6 +791,7 @@ ORACLE_SQL = {
     "lang_id_heuristic": SQL_LANG_ID_HEURISTIC,
     "token_count_regex": SQL_TOKEN_COUNT_REGEX,
     "ann_lsh_bucketed": SQL_ANN_LSH_BUCKETED,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     # bm25_stemmed_topk / wand_stemmed_topk: no SQL oracle (Porter stemming);
     # multimodal_features: no SQL oracle (byte-level featurizer) — rows-only.
 }

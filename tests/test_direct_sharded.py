@@ -1,0 +1,73 @@
+"""One-pass direct sharded build ≡ two-step (plain tables → shard) build.
+
+``shards.build_and_write_sharded`` never materializes the raw postings
+table; this asserts its output (decoded postings, term_stats, meta, and the
+WAND query results over it) is identical to ``build_sharded_index`` run on
+the persisted logical tables — i.e. skipping the intermediate loses nothing.
+"""
+
+import pandas as pd
+import pytest
+
+from searchengine_spark.operators import index_build, shards
+from searchengine_spark.plans.wand import WandSearchEngine
+from searchengine_spark.sources import webgen
+
+N_DOCS = 400
+N_SHARDS = 4
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return spark.createDataFrame(webgen.generate_pandas(N_DOCS))
+
+
+@pytest.fixture(scope="module")
+def direct(spark, pages, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("direct"))
+    return shards.build_and_write_sharded(spark, pages, path, n_shards=N_SHARDS)
+
+
+@pytest.fixture(scope="module")
+def two_step(spark, pages, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plain"))
+    tables = index_build.build_and_write_index(spark, pages, path, postings_partitions=4)
+    return shards.build_sharded_index(spark, tables, n_shards=N_SHARDS)
+
+
+def _decoded(index) -> pd.DataFrame:
+    out = shards.decode_blocks_to_postings(index.blocks.toPandas())
+    return out.sort_values(["term", "docno"]).reset_index(drop=True)
+
+
+def test_blocks_identical(direct, two_step):
+    pd.testing.assert_frame_equal(_decoded(direct), _decoded(two_step))
+
+
+def test_meta_identical(direct, two_step):
+    assert direct.n_docs == two_step.n_docs
+    assert direct.avgdl == pytest.approx(two_step.avgdl, abs=1e-9)
+    assert direct.shard_size == two_step.shard_size
+    assert direct.block_size == two_step.block_size
+
+
+def test_term_stats_identical(direct, two_step):
+    a = {r["term"]: (r["df"], round(r["idf"], 9)) for r in direct.term_stats.collect()}
+    b = {r["term"]: (r["df"], round(r["idf"], 9)) for r in two_step.term_stats.collect()}
+    assert a == b
+
+
+def test_docs_cosharded(direct):
+    rows = direct.docs.collect()
+    assert len(rows) == N_DOCS
+    assert all(r["shard"] == r["docno"] // direct.shard_size for r in rows)
+
+
+def test_wand_queries_over_direct_index(spark, direct, two_step):
+    queries = webgen.reference_queries()[:6]
+    got = WandSearchEngine(spark, direct).search_batch(queries, top_k=10).collect()
+    want = WandSearchEngine(spark, two_step).search_batch(queries, top_k=10).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    got_t = [(r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9)) for r in sorted(got, key=key)]
+    want_t = [(r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9)) for r in sorted(want, key=key)]
+    assert got_t == want_t
