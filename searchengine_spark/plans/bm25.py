@@ -32,7 +32,7 @@ from __future__ import annotations
 from collections import Counter
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from searchengine_spark.config import (
@@ -70,6 +70,50 @@ def analyze_query(query: str, stopwords=DEFAULT_STOPWORDS):
     if not filtered:
         return None
     return Counter(filtered), original_tokens, original_query
+
+
+def boost_chain_expr() -> Column:
+    """The reference's multiplicative boost chain (indexer.py:405-441) as a
+    single Catalyst expression over a frame carrying ``score``, the doc
+    metadata columns (``title``, ``description``, ``content_snippet``) and
+    the query metadata (``original_query``, ``orig_tokens``). Shared by the
+    exhaustive engine and the WAND path's phase-2 re-rank."""
+    lt, ld, lc = (
+        F.lower("title"),
+        F.lower("description"),
+        F.lower("content_snippet"),
+    )
+    q = F.col("original_query")
+    toks = F.col("orig_tokens")
+    n_orig = F.size(toks)
+    score = F.col("score")
+    # Q3: exclusive phrase-presence chain (if/elif/elif)
+    score = score * (
+        F.when(lt.contains(q), F.lit(TITLE_PHRASE_BOOST))
+        .when(ld.contains(q), F.lit(DESC_PHRASE_BOOST))
+        .when(lc.contains(q), F.lit(SNIPPET_PHRASE_BOOST))
+        .otherwise(F.lit(1.0))
+    )
+    # Q4: graduated field-match boosts (substring membership of each
+    # original token; guarded by n_orig > 0 like indexer.py:426)
+    title_pct = F.size(F.filter(toks, lambda t: lt.contains(t))).cast(
+        "double"
+    ) / n_orig.cast("double")
+    desc_pct = F.size(F.filter(toks, lambda t: ld.contains(t))).cast(
+        "double"
+    ) / n_orig.cast("double")
+    score = score * F.when(
+        (n_orig > 0) & (title_pct > 0), F.lit(1.0) + title_pct * F.lit(TITLE_MATCH_BOOST)
+    ).otherwise(F.lit(1.0))
+    score = score * F.when(
+        (n_orig > 0) & (desc_pct > 0), F.lit(1.0) + desc_pct * F.lit(DESC_MATCH_BOOST)
+    ).otherwise(F.lit(1.0))
+    # Q5: "proximity" boost — all original tokens ⊂ snippet
+    score = score * F.when(
+        (n_orig > 1) & F.forall(toks, lambda t: lc.contains(t)),
+        F.lit(PROXIMITY_BOOST),
+    ).otherwise(F.lit(1.0))
+    return score
 
 
 class BM25SearchEngine:
@@ -157,42 +201,7 @@ class BM25SearchEngine:
         boosted = scores.join(self.tables.docs, "doc_id").join(
             F.broadcast(qmeta), "query_id"
         )
-        lt, ld, lc = (
-            F.lower("title"),
-            F.lower("description"),
-            F.lower("content_snippet"),
-        )
-        q = F.col("original_query")
-        toks = F.col("orig_tokens")
-        n_orig = F.size(toks)
-        score = F.col("score")
-        # Q3: exclusive phrase-presence chain (if/elif/elif)
-        score = score * (
-            F.when(lt.contains(q), F.lit(TITLE_PHRASE_BOOST))
-            .when(ld.contains(q), F.lit(DESC_PHRASE_BOOST))
-            .when(lc.contains(q), F.lit(SNIPPET_PHRASE_BOOST))
-            .otherwise(F.lit(1.0))
-        )
-        # Q4: graduated field-match boosts (substring membership of each
-        # original token; guarded by n_orig > 0 like indexer.py:426)
-        title_pct = F.size(F.filter(toks, lambda t: lt.contains(t))).cast(
-            "double"
-        ) / n_orig.cast("double")
-        desc_pct = F.size(F.filter(toks, lambda t: ld.contains(t))).cast(
-            "double"
-        ) / n_orig.cast("double")
-        score = score * F.when(
-            (n_orig > 0) & (title_pct > 0), F.lit(1.0) + title_pct * F.lit(TITLE_MATCH_BOOST)
-        ).otherwise(F.lit(1.0))
-        score = score * F.when(
-            (n_orig > 0) & (desc_pct > 0), F.lit(1.0) + desc_pct * F.lit(DESC_MATCH_BOOST)
-        ).otherwise(F.lit(1.0))
-        # Q5: "proximity" boost — all original tokens ⊂ snippet
-        score = score * F.when(
-            (n_orig > 1) & F.forall(toks, lambda t: lc.contains(t)),
-            F.lit(PROXIMITY_BOOST),
-        ).otherwise(F.lit(1.0))
-        boosted = boosted.select("query_id", "doc_id", score.alias("score"))
+        boosted = boosted.select("query_id", "doc_id", boost_chain_expr().alias("score"))
 
         # Q6: per-query max-normalization (indexer.py:314-321)
         w = Window.partitionBy("query_id")
