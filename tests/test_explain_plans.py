@@ -1,0 +1,54 @@
+"""Physical-plan audits: the pruning/pushdown/codegen properties the engine
+is designed around must actually appear in the executed plan (they are the
+distributed analog of the reference's hash-dict lookup, indexer.py:384-394,
+and they are what keeps a term lookup sub-linear at 100 TB)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators import index_build
+from searchengine_spark.operators.index_build import term_bucket
+from searchengine_spark.plans.bm25 import BM25SearchEngine
+from searchengine_spark.sources import webgen
+
+N_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def persisted(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("idx"))
+    pages = spark.createDataFrame(webgen.generate_pandas(N_DOCS))
+    index_build.build_and_write_index(spark, pages, path, postings_partitions=4)
+    return index_build.read_index(spark, path)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_postings_scan_prunes_bucket_dirs_and_pushes_term_inlist(persisted):
+    terms = ["make", "work"]
+    buckets = sorted({term_bucket(t) for t in terms})
+    df = persisted.postings.filter(F.col("bucket").isin(buckets)).filter(
+        F.col("term").isin(terms)
+    )
+    plan = _plan(df)
+    assert "PartitionFilters: [bucket" in plan, plan
+    assert "PushedFilters: [In(term" in plan, plan
+    # the scan must not read the posting payload columns it doesn't need…
+    proj = _plan(persisted.postings.select("term").filter(F.col("term").isin(terms)))
+    assert "ReadSchema: struct<term:string>" in proj, proj
+
+
+def test_postings_scan_is_whole_stage_codegen(persisted):
+    df = persisted.postings.filter(F.col("term") == "make")
+    assert "*(1)" in _plan(df)  # WholeStageCodegen span covers filter+scan
+
+
+def test_bm25_query_plan_broadcasts_weights_not_postings(spark, persisted):
+    engine = BM25SearchEngine(spark, persisted)
+    scored = engine.score_batch([(0, "make work"), (1, "time year")])
+    plan = _plan(scored)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    # the postings side carries the pushed IN-list (dict-lookup analog)
+    assert "PushedFilters: [In(term" in plan, plan
