@@ -39,7 +39,10 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "30000"))
+# 120k docs: large enough that engine throughput (not the ~15s of fixed
+# session/stage overhead) dominates the headline docs/sec, small enough
+# that the full bench stays a few minutes.
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "120000"))
 BENCH_DIR = os.environ.get("SPARK_GRAFT_BENCH_DIR", os.path.join(REPO, ".bench"))
 
 
