@@ -72,6 +72,25 @@ def analyze_query(query: str, stopwords=DEFAULT_STOPWORDS):
     return Counter(filtered), original_tokens, original_query
 
 
+def paginate(results: list, page: int = 1, per_page: int = 10) -> dict:
+    """Q11 (app.py:127-185): driver-side slice of collected top-k rows plus
+    page metadata (ceil total pages, clamped page number) — pagination is a
+    presentation concern over the already-tiny top-k, never a Spark job."""
+    import math
+
+    total = len(results)
+    total_pages = max(1, math.ceil(total / per_page)) if per_page > 0 else 1
+    page = max(1, min(page, total_pages))
+    start = (page - 1) * per_page
+    return {
+        "results": list(results[start : start + per_page]),
+        "page": page,
+        "per_page": per_page,
+        "total_results": total,
+        "total_pages": total_pages,
+    }
+
+
 def boost_chain_expr() -> Column:
     """The reference's multiplicative boost chain (indexer.py:405-441) as a
     single Catalyst expression over a frame carrying ``score``, the doc

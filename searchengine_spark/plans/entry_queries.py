@@ -652,6 +652,92 @@ def q_embedding_neardup(spark, sf_dir) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- similarity: IVF probe-2 ANN
+IVF_CELLS = 8
+IVF_PROBE = 2
+
+
+def q_ann_ivf_probe(spark, sf_dir) -> DataFrame:
+    """IVF-style ANN: vectors 1..IVF_CELLS serve as deterministic coarse
+    centroids; every other vector is assigned to its nearest centroid (L2,
+    tie-break by centroid id); the query probes its IVF_PROBE nearest cells
+    and exact-cosine ranks only those cells' members. At 10⁹ vectors the
+    cell assignment is one broadcast-join pass and a probe touches
+    IVF_PROBE/IVF_CELLS of the data; the brute-force q_embedding_topk is
+    the exactness baseline, LSH (q_ann_lsh_bucketed) the hash-based
+    alternative."""
+    e = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
+    )
+    l2 = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda a, b: (a - b) * (a - b)), F.lit(0.0), lambda acc, z: acc + z
+    )
+    cents = (
+        e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= IVF_CELLS))
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    # nearest cell per vector: min over (dist, cid) structs is deterministic
+    assigned = (
+        e.filter(F.col("vec_id") > IVF_CELLS)
+        .crossJoin(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct(l2(F.col("v"), F.col("cv")).alias("d"), F.col("cid").alias("cid")))[
+                "cid"
+            ].alias("cell"),
+            F.any_value("v").alias("v"),
+        )
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    qcells = (
+        q.crossJoin(F.broadcast(cents))
+        .select("qv", "cid", l2(F.col("qv"), F.col("cv")).alias("d"))
+        .orderBy("d", "cid")
+        .limit(IVF_PROBE)
+        .select("qv", F.col("cid").alias("cell"))
+    )
+    cand = assigned.join(F.broadcast(qcells), "cell")
+    denom = F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(F.col("qv"), F.col("qv")))
+    return (
+        cand.select(
+            "vec_id",
+            F.when(denom != 0, dot(F.col("v"), F.col("qv")) / denom).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(5)
+        .select("vec_id", F.round("sim", 5).alias("sim"))
+    )
+
+
+SQL_ANN_IVF_PROBE = f"""WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND {IVF_CELLS}),
+dists AS (
+  SELECT e.vec_id, e.v, c.cid,
+         list_sum([x * x FOR x IN list_transform(e.v, (a, i) -> a - c.cv[i])]) AS d
+  FROM e CROSS JOIN cents c WHERE e.vec_id > {IVF_CELLS}),
+assigned AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT vec_id, v, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM dists) WHERE rn = 1),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+qcells AS (
+  SELECT c.cid AS cell, q.qv
+  FROM cents c, q
+  ORDER BY list_sum([x * x FOR x IN list_transform(q.qv, (a, i) -> a - c.cv[i])]), c.cid
+  LIMIT {IVF_PROBE})
+SELECT vec_id, ROUND(sim, 5) AS sim FROM (
+  SELECT a.vec_id,
+         list_dot_product(a.v, qc.qv)
+         / NULLIF(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(qc.qv, qc.qv)), 0) AS sim
+  FROM assigned a JOIN qcells qc ON a.cell = qc.cell)
+ORDER BY sim DESC, vec_id LIMIT 5"""
+
+
 def _sql_plane(j: int) -> str:
     return "list_value(" + ", ".join(str(c) for c in HYPERPLANES[j]) + ")"
 
@@ -767,6 +853,7 @@ QUERIES = {
     "token_count_regex": q_token_count_regex,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "embedding_neardup": q_embedding_neardup,
+    "ann_ivf_probe": q_ann_ivf_probe,
     "bm25_stemmed_topk": q_bm25_stemmed_topk,
     "wand_stemmed_topk": q_wand_stemmed_topk,
     "multimodal_features": q_multimodal_features,
@@ -792,6 +879,7 @@ ORACLE_SQL = {
     "token_count_regex": SQL_TOKEN_COUNT_REGEX,
     "ann_lsh_bucketed": SQL_ANN_LSH_BUCKETED,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "ann_ivf_probe": SQL_ANN_IVF_PROBE,
     # bm25_stemmed_topk / wand_stemmed_topk: no SQL oracle (Porter stemming);
     # multimodal_features: no SQL oracle (byte-level featurizer) — rows-only.
 }
