@@ -240,9 +240,14 @@ class BM25SearchEngine:
         top_k: int = 20,
         stopwords=DEFAULT_STOPWORDS,
         with_metadata: bool = True,
+        exclude_domains: bool = False,
     ) -> DataFrame | None:
         """Top-k per query (indexer.py:323-342): deterministic tie-break,
-        top-k slice, relevance threshold, metadata + query-relevant snippet."""
+        top-k slice, relevance threshold, metadata + query-relevant snippet.
+
+        ``exclude_domains=True`` applies the serving layer's F11 filter
+        (app.py:136-154: drop podcast-platform urls) AFTER top-k selection,
+        exactly where the reference front-end applies it."""
         scored = self.score_batch(queries, stopwords)
         if scored is None:
             return None
@@ -270,6 +275,10 @@ class BM25SearchEngine:
             )
 
         out = topk.join(self.tables.docs, "doc_id")
+        if exclude_domains:
+            from searchengine_spark.plans.classify import excluded_domain_col
+
+            out = out.filter(~excluded_domain_col(F.col("url")))
         return out.select(
             "query_id",
             "rank",

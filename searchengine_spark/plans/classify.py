@@ -262,6 +262,16 @@ def crawl_frontier(pages: DataFrame, visited: DataFrame) -> DataFrame:
     )
 
 
+def classify_summary(pages: DataFrame) -> DataFrame:
+    """A8 (classifier.py:248-257): totals by classification outcome —
+    ``groupBy(is_personal_blog).count()`` over the classified frame."""
+    return (
+        classify_pages(pages)
+        .groupBy("is_personal_blog")
+        .agg(F.count("*").alias("n_pages"))
+    )
+
+
 def domain_stats(pages: DataFrame, top_n: int = 10) -> DataFrame:
     """A7 (crawler.py:199-208, 309-311): pages-per-domain, top N. Domain
     here is T5's extract_domain (www-stripped), matching crawler reporting."""

@@ -180,3 +180,27 @@ def test_domain_stats(spark):
     )
     for d, n in got.items():
         assert want[d] == n
+
+
+def test_classify_summary(spark):
+    pages = spark.createDataFrame(webgen.generate_pandas(60))
+    rows = classify.classify_summary(pages).collect()
+    assert sum(r["n_pages"] for r in rows) == 60
+    assert {r["is_personal_blog"] for r in rows} <= {True, False}
+
+
+def test_search_batch_exclude_domains(spark, tmp_path):
+    from searchengine_spark.operators import index_build
+    from searchengine_spark.plans.bm25 import BM25SearchEngine
+
+    pdf = webgen.generate_pandas(80)
+    # plant an excluded-domain page that would otherwise rank
+    pdf.loc[0, "url"] = "https://open.spotify.com/episode/abc"
+    pages = spark.createDataFrame(pdf)
+    tables = index_build.build_index(pages)
+    eng = BM25SearchEngine(spark, tables)
+    qs = webgen.reference_queries()[:4]
+    with_all = eng.search_batch(qs, top_k=10).collect()
+    filtered = eng.search_batch(qs, top_k=10, exclude_domains=True).collect()
+    assert all("spotify.com" not in r["url"] for r in filtered)
+    assert len(filtered) <= len(with_all)
