@@ -48,6 +48,17 @@ def cmd_build(args) -> int:
     spark = _spark(args)
     pages = spark.read.parquet(args.input)
     t0 = time.time()
+    if args.sharded:
+        from searchengine_spark.operators import shards
+
+        ix = shards.build_and_write_sharded(
+            spark, pages, args.out, n_shards=args.shards
+        )
+        wall = time.time() - t0
+        print(json.dumps({"docs": ix.n_docs, "n_shards": ix.n_shards,
+                          "wall_s": round(wall, 2),
+                          "docs_per_sec": round(ix.n_docs / wall, 1)}))
+        return 0
     if args.resumable:
         tokenized = checkpoint.checkpointed_tokenize(
             spark, pages, args.out, n_chunks=args.n_chunks
@@ -149,6 +160,9 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--partitions", type=int, default=32)
     b.add_argument("--resumable", action="store_true")
     b.add_argument("--n-chunks", type=int, default=16)
+    b.add_argument("--sharded", action="store_true",
+                   help="one-pass compressed sharded build (production path)")
+    b.add_argument("--shards", type=int, default=16)
     b.set_defaults(fn=cmd_build)
 
     o = sub.add_parser("optimize", help="logical index → sharded compressed blocks")
