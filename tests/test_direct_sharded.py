@@ -71,3 +71,18 @@ def test_wand_queries_over_direct_index(spark, direct, two_step):
     got_t = [(r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9)) for r in sorted(got, key=key)]
     want_t = [(r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9)) for r in sorted(want, key=key)]
     assert got_t == want_t
+
+
+def test_tiny_corpus_build_and_query(spark, tmp_path_factory):
+    """Degenerate sizes: 3 docs across 4 shards (shard_size=1, some shards
+    empty), single-block terms, queries with no hits."""
+    path = str(tmp_path_factory.mktemp("tiny"))
+    pages = spark.createDataFrame(webgen.generate_pandas(3))
+    ix = shards.build_and_write_sharded(spark, pages, path, n_shards=4)
+    assert ix.n_docs == 3 and ix.shard_size == 1
+    assert ix.docs.count() == 3
+    eng = WandSearchEngine(spark, ix)
+    res = eng.search_batch([(0, "zzzzunseen tokens")], top_k=5)
+    assert res is None or res.count() == 0
+    res2 = eng.search_batch(webgen.reference_queries()[:3], top_k=5)
+    assert res2 is None or res2.count() >= 0
