@@ -271,6 +271,8 @@ def build_and_write_sharded(
     n_shards: int = 16,
     block_size: int = DEFAULT_BLOCK_SIZE,
     use_precomputed_text: bool = True,
+    resumable: bool = False,
+    n_chunks: int = 16,
 ) -> ShardedIndex:
     """One-pass production indexing pipeline: web_pages → compressed sharded
     index, WITHOUT materializing the raw postings table.
@@ -294,10 +296,20 @@ def build_and_write_sharded(
     """
     from searchengine_spark.operators.index_build import tokenize_documents
 
-    tokenize_documents(pages, use_precomputed_text=use_precomputed_text).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/tokenized")
-    tokenized = spark.read.parquet(f"{path}/tokenized")
+    if resumable:
+        # chunked stage 1 with per-chunk lineage; a killed build resumes by
+        # skipping complete chunks (operators/checkpoint.py)
+        from searchengine_spark.operators import checkpoint
+
+        tokenized = checkpoint.checkpointed_tokenize(
+            spark, pages, path, n_chunks=n_chunks,
+            use_precomputed_text=use_precomputed_text,
+        )
+    else:
+        tokenize_documents(pages, use_precomputed_text=use_precomputed_text).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/tokenized")
+        tokenized = spark.read.parquet(f"{path}/tokenized")
 
     st = tokenized.agg(
         F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")

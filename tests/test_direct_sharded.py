@@ -86,3 +86,20 @@ def test_tiny_corpus_build_and_query(spark, tmp_path_factory):
     assert res is None or res.count() == 0
     res2 = eng.search_batch(webgen.reference_queries()[:3], top_k=5)
     assert res2 is None or res2.count() >= 0
+
+
+def test_resumable_direct_build_identical_after_kill(spark, pages, tmp_path_factory, direct):
+    """Kill the resumable production build mid-tokenize; resume; the final
+    compressed index must be identical to the single-shot direct build."""
+    from searchengine_spark.operators.checkpoint import SimulatedFailure
+    from searchengine_spark.operators import checkpoint
+
+    path = str(tmp_path_factory.mktemp("resume"))
+    with pytest.raises(SimulatedFailure):
+        checkpoint.checkpointed_tokenize(spark, pages, path, n_chunks=4, fail_after=2)
+    resumed = shards.build_and_write_sharded(
+        spark, pages, path, n_shards=N_SHARDS, resumable=True, n_chunks=4
+    )
+    pd.testing.assert_frame_equal(_decoded(resumed), _decoded(direct))
+    assert resumed.n_docs == direct.n_docs
+    assert resumed.avgdl == pytest.approx(direct.avgdl, abs=1e-9)
