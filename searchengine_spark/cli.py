@@ -52,7 +52,8 @@ def cmd_build(args) -> int:
         from searchengine_spark.operators import shards
 
         ix = shards.build_and_write_sharded(
-            spark, pages, args.out, n_shards=args.shards
+            spark, pages, args.out, n_shards=args.shards,
+            resumable=args.resumable, n_chunks=args.n_chunks,
         )
         wall = time.time() - t0
         print(json.dumps({"docs": ix.n_docs, "n_shards": ix.n_shards,
