@@ -54,6 +54,7 @@ def checkpointed_tokenize(
     n_chunks: int = 8,
     use_precomputed_text: bool = True,
     fail_after: int | None = None,
+    with_positions: bool = False,
 ) -> DataFrame:
     """Stage-1 tokenize, resumable. Returns the completed tokenized frame.
 
@@ -74,7 +75,11 @@ def checkpointed_tokenize(
         t0 = time.time()
         subset = pages.filter(F.col("_chunk") == chunk).drop("_chunk")
         out_dir = f"{path}/tokenized/chunk={chunk}"
-        tokenized = tokenize_documents(subset, use_precomputed_text=use_precomputed_text)
+        tokenized = tokenize_documents(
+            subset,
+            use_precomputed_text=use_precomputed_text,
+            with_positions=with_positions,
+        )
         tokenized.write.mode("overwrite").parquet(out_dir)
 
         # lineage metrics from the committed chunk files (columnar, cheap)

@@ -95,3 +95,48 @@ def decode_postings(gaps_buf: bytes, tfs_buf: bytes, dls_buf: bytes):
     tfs = varint_decode(tfs_buf).astype(np.float64)
     dls = varint_decode(dls_buf).astype(np.float64)
     return docnos, tfs, dls
+
+
+def encode_positions(counts: np.ndarray, positions: np.ndarray) -> tuple[bytes, bytes]:
+    """Positional payload for one block: per-posting position counts +
+    delta-gapped in-document token positions, concatenated in posting order.
+
+    ``counts[i]`` = number of positions for posting i; ``positions`` is the
+    flat concatenation (each posting's positions strictly increasing). The
+    classic positional-index layout (Manning/Raghavan/Schütze IR §2.4.2):
+    gaps reset at each posting boundary so every stream stays small-varint.
+    """
+    counts = np.asarray(counts, dtype=np.uint64)
+    positions = np.asarray(positions, dtype=np.uint64)
+    if int(counts.sum()) != positions.size:
+        raise ValueError("position count/stream mismatch")
+    gaps = np.empty_like(positions)
+    if positions.size:
+        gaps[0] = positions[0]
+        np.subtract(positions[1:], positions[:-1], out=gaps[1:])
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1])).astype(np.int64)
+        starts = starts[np.asarray(counts, dtype=np.int64) > 0]
+        gaps[starts] = positions[starts]
+    return varint_encode(counts), varint_encode(gaps)
+
+
+def decode_positions(counts_buf: bytes, gaps_buf: bytes):
+    """Inverse of encode_positions → (counts:int64[], positions:uint64[] flat).
+
+    Split the flat stream per posting with
+    ``np.split(positions, np.cumsum(counts)[:-1])`` when per-posting lists
+    are needed; scoring kernels mostly consume the flat layout directly.
+    """
+    counts = varint_decode(counts_buf).astype(np.int64)
+    gaps = varint_decode(gaps_buf)
+    if gaps.size == 0:
+        return counts, np.empty(0, dtype=np.uint64)
+    raw = np.cumsum(gaps, dtype=np.uint64)
+    nz = counts > 0
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1])).astype(np.int64)[nz]
+    # undo the cross-posting cumsum carry: each posting's positions are the
+    # raw running sum minus the running sum just before the posting started
+    base = np.zeros(starts.size, dtype=np.uint64)
+    base[1:] = raw[starts[1:] - 1]
+    positions = raw - np.repeat(base, counts[nz])
+    return counts, positions

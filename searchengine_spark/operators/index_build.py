@@ -110,6 +110,50 @@ TOKENIZED_SCHEMA = StructType(
 )
 
 
+TOKENIZED_POS_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("url", StringType()),
+        StructField("title", StringType()),
+        StructField("description", StringType()),
+        StructField("content_snippet", StringType()),
+        StructField(
+            "tf_terms",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("term", StringType()),
+                        StructField("tf", DoubleType()),
+                        StructField("positions", ArrayType(LongType())),
+                    ]
+                )
+            ),
+        ),
+        StructField("n_tokens", LongType()),
+        StructField("doc_len", DoubleType()),
+    ]
+)
+
+
+def _tf_and_positions(
+    field_tokens: list[tuple[list[str], float]],
+) -> tuple[dict[str, float], dict[str, list[int]], int]:
+    """Within-row A1 plus token positions. Positions index the concatenated
+    filtered token stream (title tokens, then meta, then content) — the
+    north-rule posting payload (docID, tf, positions); the reference itself
+    stores no positions (indexer.py:150), so position semantics are ours to
+    define and this ordering matches how doc_len/n_tokens already count."""
+    tf: dict[str, float] = {}
+    pos: dict[str, list[int]] = {}
+    i = 0
+    for toks, w in field_tokens:
+        for tok in toks:
+            tf[tok] = tf.get(tok, 0.0) + w
+            pos.setdefault(tok, []).append(i)
+            i += 1
+    return tf, pos, i
+
+
 @dataclass
 class IndexTables:
     """Logical index: the Spark analogs of the reference's pickled dicts
@@ -126,12 +170,16 @@ def tokenize_documents(
     pages: DataFrame,
     use_precomputed_text: bool = True,
     stopwords: frozenset[str] = DEFAULT_STOPWORDS,
+    with_positions: bool = False,
 ) -> DataFrame:
     """Stage 1: web_pages → per-doc fields + filtered token arrays + doc_len.
 
     One Arrow crossing; pure per row, so output is partitioning-invariant.
+    ``with_positions=True`` widens ``tf_terms`` entries to
+    (term, tf, positions) for the positional index layout.
     """
     stop = stopwords
+    schema = TOKENIZED_POS_SCHEMA if with_positions else TOKENIZED_SCHEMA
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -156,10 +204,12 @@ def tokenize_documents(
                 # per-doc field-weighted tf map (indexer.py:92-107) — A1 is
                 # a WITHIN-row aggregation, so it is computed map-side here
                 # and the posting build needs no (doc, term) shuffle at all
-                tf: dict[str, float] = {}
-                for toks, w in ((tt, TITLE_BOOST), (mt, META_BOOST), (ct, CONTENT_WEIGHT)):
-                    for tok in toks:
-                        tf[tok] = tf.get(tok, 0.0) + w
+                fields = ((tt, TITLE_BOOST), (mt, META_BOOST), (ct, CONTENT_WEIGHT))
+                tf, pos, _ = _tf_and_positions(list(fields))
+                if with_positions:
+                    terms_col = [(t, w, pos[t]) for t, w in tf.items()]
+                else:
+                    terms_col = list(tf.items())
                 rows.append(
                     (
                         textproc.doc_id_for_url(url),
@@ -167,16 +217,16 @@ def tokenize_documents(
                         title,
                         meta,
                         textproc.make_snippet(content),
-                        list(tf.items()),
+                        terms_col,
                         len(tt) + len(mt) + len(ct),
                         TITLE_BOOST * len(tt)
                         + META_BOOST * len(mt)
                         + CONTENT_WEIGHT * len(ct),
                     )
                 )
-            yield pd.DataFrame(rows, columns=[f.name for f in TOKENIZED_SCHEMA.fields])
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    return pages.mapInPandas(process, TOKENIZED_SCHEMA)
+    return pages.mapInPandas(process, schema)
 
 
 def term_frequencies(tokenized: DataFrame) -> DataFrame:

@@ -57,6 +57,9 @@ BLOCK_SCHEMA = (
     "shard int, term string, block_no int, n int, min_docno long, max_docno long, "
     "max_partial double, gaps binary, tfs binary, dls binary"
 )
+# positional layout: two extra varint streams per block — per-posting
+# position counts + delta-gapped in-document token positions (codec.py)
+BLOCK_POS_SCHEMA = BLOCK_SCHEMA + ", pcounts binary, pgaps binary"
 
 DEFAULT_BLOCK_SIZE = 128
 TERM_BUCKETS = 8
@@ -65,10 +68,13 @@ _BLOCK_COLS = [
     "shard", "term", "block_no", "n", "min_docno", "max_docno",
     "max_partial", "gaps", "tfs", "dls",
 ]
+_BLOCK_POS_COLS = _BLOCK_COLS + ["pcounts", "pgaps"]
 
 
-def encode_blocks_pdf(pdf: pd.DataFrame, avgdl: float, block_size: int) -> pd.DataFrame:
-    """(shard, term, docno, tf, doc_len) rows → encoded block rows.
+def encode_blocks_pdf(
+    pdf: pd.DataFrame, avgdl: float, block_size: int, with_positions: bool = False
+) -> pd.DataFrame:
+    """(shard, term, docno, tf, doc_len[, positions]) rows → encoded block rows.
 
     Fully vectorized across the WHOLE frame (no per-term or per-block numpy
     calls — at 1M docs a term-bucket group holds ~10⁴ terms / ~10⁴ blocks,
@@ -76,9 +82,11 @@ def encode_blocks_pdf(pdf: pd.DataFrame, avgdl: float, block_size: int) -> pd.Da
     boundaries come from run-length structure over the (shard, term)-sorted
     frame, each varint stream is encoded ONCE for the whole frame, and
     per-block buffers are byte-range slices (LEB128 is per-value independent,
-    so slices are byte-identical to per-block encodes)."""
+    so slices are byte-identical to per-block encodes). With positions, the
+    flat position stream is likewise encoded once and sliced at block
+    boundaries mapped through the per-posting position counts."""
     if len(pdf) == 0:
-        return pd.DataFrame(columns=_BLOCK_COLS)
+        return pd.DataFrame(columns=_BLOCK_POS_COLS if with_positions else _BLOCK_COLS)
     k1, b = K1, B
     pdf = pdf.sort_values(["shard", "term", "docno"], kind="stable")
     shards_a = pdf["shard"].to_numpy(dtype=np.int32)
@@ -112,28 +120,47 @@ def encode_blocks_pdf(pdf: pd.DataFrame, avgdl: float, block_size: int) -> pd.Da
     partial = ((k1 + 1.0) * tfs) / (k1 * (1.0 - b + b * dls / avgdl) + tfs)
     max_partial = np.maximum.reduceat(partial, bstarts)
 
-    def _block_slices(vals: np.ndarray) -> list[bytes]:
+    def _ranged_slices(vals: np.ndarray, lo_idx: np.ndarray, hi_idx: np.ndarray) -> list[bytes]:
+        """Encode the whole value stream once; return the byte slices that
+        cover value ranges [lo_idx, hi_idx) — byte-identical to encoding
+        each range separately (LEB128 is per-value independent)."""
         buf = codec.varint_encode(vals)
-        ends_b = np.cumsum(codec.varint_byte_counts(vals))
-        lo = (ends_b[bstarts] - codec.varint_byte_counts(vals[bstarts])).tolist()
-        hi = ends_b[bends - 1].tolist()
+        ends_b = np.concatenate(([0], np.cumsum(codec.varint_byte_counts(vals))))
+        lo = ends_b[lo_idx].tolist()
+        hi = ends_b[hi_idx].tolist()
         return [buf[a:z] for a, z in zip(lo, hi)]
 
-    return pd.DataFrame(
-        {
-            "shard": shards_a[bstarts],
-            "term": terms[bstarts],
-            "block_no": block_no[bstarts].astype(np.int32),
-            "n": (bends - bstarts).astype(np.int32),
-            "min_docno": docnos[bstarts],
-            "max_docno": docnos[bends - 1],
-            "max_partial": max_partial,
-            "gaps": _block_slices(gaps.astype(np.uint64)),
-            "tfs": _block_slices(tfs_u),
-            "dls": _block_slices(dls_u),
-        },
-        columns=_BLOCK_COLS,
-    )
+    def _block_slices(vals: np.ndarray) -> list[bytes]:
+        return _ranged_slices(vals, bstarts, bends)
+
+    cols = {
+        "shard": shards_a[bstarts],
+        "term": terms[bstarts],
+        "block_no": block_no[bstarts].astype(np.int32),
+        "n": (bends - bstarts).astype(np.int32),
+        "min_docno": docnos[bstarts],
+        "max_docno": docnos[bends - 1],
+        "max_partial": max_partial,
+        "gaps": _block_slices(gaps.astype(np.uint64)),
+        "tfs": _block_slices(tfs_u),
+        "dls": _block_slices(dls_u),
+    }
+    if with_positions:
+        plists = [np.asarray(x, dtype=np.int64) for x in pdf["positions"].to_numpy()]
+        counts = np.fromiter((p.size for p in plists), dtype=np.int64, count=n)
+        flat = np.concatenate(plists) if plists else np.empty(0, dtype=np.int64)
+        fstarts = np.concatenate(([0], np.cumsum(counts)))  # posting→flat offset
+        # delta-gap the flat stream with reset at each posting's first position
+        pgaps = np.empty(flat.size, dtype=np.int64)
+        if flat.size:
+            pgaps[1:] = flat[1:] - flat[:-1]
+            firsts = fstarts[:-1][counts > 0]
+            pgaps[firsts] = flat[firsts]
+        cols["pcounts"] = _block_slices(counts.astype(np.uint64))
+        cols["pgaps"] = _ranged_slices(
+            pgaps.astype(np.uint64), fstarts[bstarts], fstarts[bends]
+        )
+    return pd.DataFrame(cols, columns=_BLOCK_POS_COLS if with_positions else _BLOCK_COLS)
 
 
 def assign_docnos(spark: SparkSession, doc_ids: DataFrame, n_parts: int = 32) -> DataFrame:
@@ -183,7 +210,7 @@ def assign_docnos(spark: SparkSession, doc_ids: DataFrame, n_parts: int = 32) ->
 class ShardedIndex:
     """Physical index: compressed posting blocks + co-sharded doc metadata."""
 
-    blocks: DataFrame  # BLOCK_SCHEMA
+    blocks: DataFrame  # BLOCK_SCHEMA (+ pcounts/pgaps when positional)
     docs: DataFrame  # shard, docno, doc_id, url, title, description, content_snippet
     term_stats: DataFrame  # term, df, idf (global)
     n_docs: int
@@ -191,6 +218,7 @@ class ShardedIndex:
     n_shards: int
     shard_size: int
     block_size: int
+    with_positions: bool = False
 
 
 def build_sharded_index(
@@ -273,6 +301,7 @@ def build_and_write_sharded(
     use_precomputed_text: bool = True,
     resumable: bool = False,
     n_chunks: int = 16,
+    with_positions: bool = False,
 ) -> ShardedIndex:
     """One-pass production indexing pipeline: web_pages → compressed sharded
     index, WITHOUT materializing the raw postings table.
@@ -304,13 +333,33 @@ def build_and_write_sharded(
         tokenized = checkpoint.checkpointed_tokenize(
             spark, pages, path, n_chunks=n_chunks,
             use_precomputed_text=use_precomputed_text,
+            with_positions=with_positions,
         )
     else:
-        tokenize_documents(pages, use_precomputed_text=use_precomputed_text).write.mode(
-            "overwrite"
-        ).parquet(f"{path}/tokenized")
+        tokenize_documents(
+            pages,
+            use_precomputed_text=use_precomputed_text,
+            with_positions=with_positions,
+        ).write.mode("overwrite").parquet(f"{path}/tokenized")
         tokenized = spark.read.parquet(f"{path}/tokenized")
 
+    return shard_and_write_from_tokenized(
+        spark, tokenized, path,
+        n_shards=n_shards, block_size=block_size, with_positions=with_positions,
+    )
+
+
+def shard_and_write_from_tokenized(
+    spark: SparkSession,
+    tokenized: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    with_positions: bool = False,
+) -> ShardedIndex:
+    """Stages 2-4 of :func:`build_and_write_sharded`, starting from an
+    already-tokenized frame (any of the stage-1 tokenizers: web pages,
+    pre-extracted fields, or the text-only documents adapter)."""
     st = tokenized.agg(
         F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
     ).collect()[0]
@@ -324,21 +373,26 @@ def build_and_write_sharded(
         "shard", (F.col("docno") / shard_size).cast("int")
     )
 
+    posting_cols = [
+        F.col("shard"),
+        F.col("tw.term").alias("term"),
+        F.col("docno"),
+        F.col("tw.tf").alias("tf"),
+        F.col("doc_len"),
+    ]
+    if with_positions:
+        posting_cols.append(F.col("tw.positions").alias("positions"))
     exploded = tk.select(
         "shard", "docno", "doc_len", F.explode("tf_terms").alias("tw")
-    ).select(
-        "shard",
-        F.col("tw.term").alias("term"),
-        "docno",
-        F.col("tw.tf").alias("tf"),
-        "doc_len",
-    )
+    ).select(*posting_cols)
     (
         exploded.withColumn("_tb", F.pmod(F.xxhash64("term"), F.lit(TERM_BUCKETS)))
         .groupBy("shard", "_tb")
         .applyInPandas(
-            lambda pdf: encode_blocks_pdf(pdf.drop(columns=["_tb"]), avgdl, block_size),
-            BLOCK_SCHEMA,
+            lambda pdf: encode_blocks_pdf(
+                pdf.drop(columns=["_tb"]), avgdl, block_size, with_positions
+            ),
+            BLOCK_POS_SCHEMA if with_positions else BLOCK_SCHEMA,
         )
         .sortWithinPartitions("term", "shard", "block_no")
         .write.mode("overwrite")
@@ -379,6 +433,7 @@ def build_and_write_sharded(
                 "n_shards": n_shards,
                 "shard_size": shard_size,
                 "block_size": block_size,
+                "with_positions": with_positions,
             },
             f,
         )
@@ -407,6 +462,7 @@ def write_sharded_index(index: ShardedIndex, path: str) -> None:
         "n_shards": index.n_shards,
         "shard_size": index.shard_size,
         "block_size": index.block_size,
+        "with_positions": index.with_positions,
     }
     os.makedirs(path, exist_ok=True)
     with open(f"{path}/meta.json", "w") as f:
@@ -416,6 +472,7 @@ def write_sharded_index(index: ShardedIndex, path: str) -> None:
 def read_sharded_index(spark: SparkSession, path: str) -> ShardedIndex:
     with open(f"{path}/meta.json") as f:
         meta = json.load(f)
+    meta.setdefault("with_positions", False)
     return ShardedIndex(
         blocks=spark.read.parquet(f"{path}/blocks"),
         docs=spark.read.parquet(f"{path}/docs_sharded"),

@@ -784,6 +784,71 @@ SELECT vec_id, ROUND(sim, 5) AS sim FROM (
 ORDER BY sim DESC, vec_id LIMIT 5"""
 
 
+# ---------------------------------------------------------------- phrase match (positional)
+PHRASE_TERMS = ["fast", "table"]
+
+
+def q_phrase_match(spark, sf_dir) -> DataFrame:
+    """Exact phrase occurrence count over the token stream — the
+    Catalyst-native path (within-row array lambda, map-only, no shuffle;
+    plans/phrase.py). The positional-index path over the same semantics is
+    q_phrase_sharded below; their agreement is tested in tests/test_phrase.py
+    against a brute-force oracle."""
+    from searchengine_spark.plans.phrase import phrase_tf_col
+
+    toks = _toks(spark, sf_dir)
+    return (
+        toks.select(
+            "doc_id", phrase_tf_col(F.col("toks"), PHRASE_TERMS).alias("phrase_tf")
+        )
+        .filter(F.col("phrase_tf") > 0)
+        .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+_PHRASE_COND = " AND ".join(
+    f"toks[i+{j}]='{t}'" for j, t in enumerate(PHRASE_TERMS)
+)
+SQL_PHRASE_MATCH = f"""WITH {_TOKS_CTE},
+p AS (SELECT doc_id,
+             len(list_filter(range(1, len(toks) - {len(PHRASE_TERMS) - 2}),
+                             i -> {_PHRASE_COND})) AS phrase_tf
+      FROM toks)
+SELECT doc_id, phrase_tf FROM p WHERE phrase_tf > 0
+ORDER BY phrase_tf DESC, doc_id LIMIT 100"""
+
+
+def q_phrase_sharded(spark, sf_dir) -> DataFrame:
+    """Same phrase over the positional compressed sharded index (delta-gap +
+    varint position streams, per-shard intersection kernel). Uses the simple
+    tokenizer so it is SQL-checkable against the same oracle as
+    q_phrase_match (the two Spark paths must agree with DuckDB)."""
+    import tempfile
+
+    from searchengine_spark.operators import shards
+    from searchengine_spark.plans.phrase import phrase_match_sharded
+    from searchengine_spark.plans.text_only import tokenize_text_documents_simple
+
+    tokenized = tokenize_text_documents_simple(
+        _documents(spark, sf_dir), with_positions=True
+    )
+    path = tempfile.mkdtemp(prefix="phrase_sharded_")
+    index = shards.shard_and_write_from_tokenized(
+        spark, tokenized, path, n_shards=8, with_positions=True
+    )
+    out = phrase_match_sharded(
+        spark, index, " ".join(PHRASE_TERMS), top_k=100, terms=PHRASE_TERMS
+    )
+    return (
+        out.select(F.col("doc_id").cast("long").alias("doc_id"), "phrase_tf")
+        .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+    )
+
+
+SQL_PHRASE_SHARDED = SQL_PHRASE_MATCH
+
+
 # ---------------------------------------------------------------- rows-only (non-SQL) queries
 def q_bm25_stemmed_topk(spark, sf_dir) -> DataFrame:
     """Full engine (Porter-stemmed tokenizer + boost chain) over the
@@ -854,6 +919,8 @@ QUERIES = {
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "embedding_neardup": q_embedding_neardup,
     "ann_ivf_probe": q_ann_ivf_probe,
+    "phrase_match": q_phrase_match,
+    "phrase_sharded": q_phrase_sharded,
     "bm25_stemmed_topk": q_bm25_stemmed_topk,
     "wand_stemmed_topk": q_wand_stemmed_topk,
     "multimodal_features": q_multimodal_features,
@@ -880,6 +947,8 @@ ORACLE_SQL = {
     "ann_lsh_bucketed": SQL_ANN_LSH_BUCKETED,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "ann_ivf_probe": SQL_ANN_IVF_PROBE,
+    "phrase_match": SQL_PHRASE_MATCH,
+    "phrase_sharded": SQL_PHRASE_SHARDED,
     # bm25_stemmed_topk / wand_stemmed_topk: no SQL oracle (Porter stemming);
     # multimodal_features: no SQL oracle (byte-level featurizer) — rows-only.
 }

@@ -17,17 +17,26 @@ from pyspark.sql import DataFrame, SparkSession
 from searchengine_spark.config import DEFAULT_STOPWORDS
 from searchengine_spark.functions import textproc
 from searchengine_spark.operators.index_build import (
+    TOKENIZED_POS_SCHEMA,
     TOKENIZED_SCHEMA,
     IndexTables,
+    _tf_and_positions,
     build_index_tables,
 )
 
 
 def tokenize_text_documents(
-    documents: DataFrame, stopwords: frozenset[str] = DEFAULT_STOPWORDS
+    documents: DataFrame,
+    stopwords: frozenset[str] = DEFAULT_STOPWORDS,
+    with_positions: bool = False,
 ) -> DataFrame:
-    """(doc_id, text, ...) → the stage-1 tokenized shape (title/meta empty)."""
+    """(doc_id, text, ...) → the stage-1 tokenized shape (title/meta empty).
+
+    ``with_positions=True`` widens ``tf_terms`` entries to
+    (term, tf, positions) — positions index the filtered content token
+    stream — for the positional index layout (operators/shards.py)."""
     stop = stopwords
+    schema = TOKENIZED_POS_SCHEMA if with_positions else TOKENIZED_SCHEMA
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -35,9 +44,11 @@ def tokenize_text_documents(
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 content = text or ""
                 ct = textproc.filter_tokens(textproc.tokenize(content), stop)
-                tf: dict[str, float] = {}
-                for tok in ct:
-                    tf[tok] = tf.get(tok, 0.0) + 1.0
+                tf, pos, n = _tf_and_positions([(ct, 1.0)])
+                if with_positions:
+                    terms_col = [(t, w, pos[t]) for t, w in tf.items()]
+                else:
+                    terms_col = list(tf.items())
                 rows.append(
                     (
                         str(doc_id),
@@ -45,14 +56,50 @@ def tokenize_text_documents(
                         "",
                         "",
                         textproc.make_snippet(content),
-                        list(tf.items()),
-                        len(ct),
-                        float(len(ct)),
+                        terms_col,
+                        n,
+                        float(n),
                     )
                 )
-            yield pd.DataFrame(rows, columns=[f.name for f in TOKENIZED_SCHEMA.fields])
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    return documents.mapInPandas(process, TOKENIZED_SCHEMA)
+    return documents.mapInPandas(process, schema)
+
+
+def tokenize_text_documents_simple(
+    documents: DataFrame, with_positions: bool = False
+) -> DataFrame:
+    """Like :func:`tokenize_text_documents` but with the SQL-expressible
+    simple tokenizer (textproc.tokenize_simple — no stemming), so results
+    over the produced index are DuckDB-checkable (plans/entry_queries.py)."""
+    schema = TOKENIZED_POS_SCHEMA if with_positions else TOKENIZED_SCHEMA
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                content = text or ""
+                ct = textproc.tokenize_simple(content)
+                tf, pos, n = _tf_and_positions([(ct, 1.0)])
+                if with_positions:
+                    terms_col = [(t, w, pos[t]) for t, w in tf.items()]
+                else:
+                    terms_col = list(tf.items())
+                rows.append(
+                    (
+                        str(doc_id),
+                        f"doc://{doc_id}",
+                        "",
+                        "",
+                        textproc.make_snippet(content),
+                        terms_col,
+                        n,
+                        float(n),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return documents.mapInPandas(process, schema)
 
 
 def build_text_only_index(spark: SparkSession, documents: DataFrame) -> IndexTables:

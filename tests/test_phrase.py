@@ -1,0 +1,223 @@
+"""Positional index + phrase query correctness.
+
+The north-rule posting payload is (docID, tf, positions); these tests
+verify the positional layout end-to-end:
+
+* position-codec round-trip (counts + delta-gapped streams),
+* positional sharded build decodes to exactly the same (term, docno, tf)
+  postings as the non-positional build (positions are a pure extension),
+* decoded positions equal the oracle token stream indices per document,
+* ``phrase_match_sharded`` equals a brute-force in-process phrase count
+  over the oracle token streams (2-term, 3-term, repeated-term phrases),
+* the Catalyst-native ``phrase_tf_col`` equals the same brute-force count.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from searchengine_spark.config import DEFAULT_STOPWORDS
+from searchengine_spark.functions import textproc
+from searchengine_spark.operators import codec, shards
+from searchengine_spark.plans import phrase as phrase_plan
+from searchengine_spark.sources import webgen
+
+N_DOCS = 300
+N_SHARDS = 4
+
+
+# ---------------------------------------------------------------- codec unit
+def test_positions_codec_roundtrip():
+    rng = np.random.default_rng(7)
+    for _ in range(100):
+        nposts = int(rng.integers(0, 16))
+        counts = rng.integers(0, 6, size=nposts)
+        lists = [np.sort(rng.choice(100000, size=c, replace=False)) for c in counts]
+        flat = np.concatenate(lists) if lists else np.empty(0, dtype=np.int64)
+        cb, gb = codec.encode_positions(counts, flat)
+        dc, dp = codec.decode_positions(cb, gb)
+        assert np.array_equal(dc, counts)
+        assert np.array_equal(dp.astype(np.int64), flat.astype(np.int64))
+
+
+def test_positions_codec_mismatch_raises():
+    with pytest.raises(ValueError):
+        codec.encode_positions(np.array([2]), np.array([1]))
+
+
+# ---------------------------------------------------------------- oracle side
+def _oracle_streams(pages_pdf: pd.DataFrame) -> dict[str, list[str]]:
+    """doc_id → the concatenated filtered token stream (title, meta, content)
+    exactly as tokenize_documents orders it."""
+    streams = {}
+    for row in pages_pdf.itertuples(index=False):
+        html = row.html.decode("utf-8", errors="replace") if isinstance(
+            row.html, (bytes, bytearray)
+        ) else (row.html or "")
+        title = textproc.extract_title_from_html(html)
+        meta = textproc.extract_meta_description(html)
+        content = row.text or ""
+        toks = []
+        for field in (title, meta, content):
+            toks.extend(
+                textproc.filter_tokens(textproc.tokenize(field), DEFAULT_STOPWORDS)
+            )
+        streams[textproc.doc_id_for_url(row.url)] = toks
+    return streams
+
+
+def _count_phrase(stream: list[str], terms: list[str]) -> int:
+    n = len(terms)
+    return sum(
+        1
+        for i in range(len(stream) - n + 1)
+        if stream[i : i + n] == terms
+    )
+
+
+@pytest.fixture(scope="module")
+def pages_pdf():
+    return webgen.generate_pandas(N_DOCS)
+
+
+@pytest.fixture(scope="module")
+def streams(pages_pdf):
+    return _oracle_streams(pages_pdf)
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, pages_pdf, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("posidx"))
+    pages = spark.createDataFrame(pages_pdf)
+    return shards.build_and_write_sharded(
+        spark, pages, path, n_shards=N_SHARDS, with_positions=True
+    )
+
+
+@pytest.fixture(scope="module")
+def plain_index(spark, pages_pdf, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plainidx"))
+    pages = spark.createDataFrame(pages_pdf)
+    return shards.build_and_write_sharded(spark, pages, path, n_shards=N_SHARDS)
+
+
+# ---------------------------------------------------------------- invariants
+def test_positional_meta_flag(pos_index, plain_index):
+    assert pos_index.with_positions is True
+    assert plain_index.with_positions is False
+    assert "pcounts" in pos_index.blocks.columns
+    assert "pcounts" not in plain_index.blocks.columns
+
+
+def test_positional_postings_match_plain(pos_index, plain_index):
+    a = shards.decode_blocks_to_postings(
+        pos_index.blocks.toPandas()
+    ).sort_values(["term", "docno"]).reset_index(drop=True)
+    b = shards.decode_blocks_to_postings(
+        plain_index.blocks.toPandas()
+    ).sort_values(["term", "docno"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_decoded_positions_match_oracle(pos_index, streams):
+    docnos = {
+        r["docno"]: r["doc_id"] for r in pos_index.docs.select("docno", "doc_id").collect()
+    }
+    got: dict[tuple[str, str], list[int]] = {}
+    for row in pos_index.blocks.toPandas().itertuples(index=False):
+        d, _tf, _dl = codec.decode_postings(row.gaps, row.tfs, row.dls)
+        counts, flat = codec.decode_positions(row.pcounts, row.pgaps)
+        parts = np.split(flat.astype(np.int64), np.cumsum(counts)[:-1])
+        for docno, plist in zip(d.astype(np.int64), parts):
+            key = (row.term, docnos[int(docno)])
+            got.setdefault(key, []).extend(plist.tolist())
+    want: dict[tuple[str, str], list[int]] = {}
+    for doc_id, stream in streams.items():
+        for i, tok in enumerate(stream):
+            want.setdefault((tok, doc_id), []).append(i)
+    assert len(got) == len(want)
+    for key, positions in want.items():
+        assert sorted(got[key]) == positions, key
+
+
+# ---------------------------------------------------------------- phrase query
+def _pick_phrase(streams, length: int, offset: int = 0) -> list[str]:
+    """A phrase that certainly occurs: a token window from a real stream."""
+    for doc_id in sorted(streams):
+        s = streams[doc_id]
+        if len(s) >= offset + length:
+            return s[offset : offset + length]
+    raise AssertionError("no stream long enough")
+
+
+@pytest.mark.parametrize("length,offset", [(2, 0), (2, 7), (3, 3)])
+def test_phrase_match_vs_bruteforce(spark, pos_index, streams, length, offset):
+    terms = _pick_phrase(streams, length, offset)
+    got = {
+        r["doc_id"]: r["phrase_tf"]
+        for r in phrase_plan.phrase_match_sharded(
+            spark, pos_index, " ".join(terms), top_k=10_000, terms=terms
+        ).collect()
+    }
+    want = {
+        doc_id: c
+        for doc_id, s in streams.items()
+        if (c := _count_phrase(s, terms)) > 0
+    }
+    assert got == want
+
+
+def test_phrase_match_repeated_term(spark, pos_index, streams):
+    # doubled single token: "x x" — exercises duplicate terms in the phrase
+    for doc_id in sorted(streams):
+        s = streams[doc_id]
+        for i in range(len(s) - 1):
+            if s[i] == s[i + 1]:
+                terms = [s[i], s[i]]
+                break
+        else:
+            continue
+        break
+    else:
+        pytest.skip("no doubled token in corpus")
+    got = {
+        r["doc_id"]: r["phrase_tf"]
+        for r in phrase_plan.phrase_match_sharded(
+            spark, pos_index, " ".join(terms), top_k=10_000, terms=terms
+        ).collect()
+    }
+    want = {
+        doc_id: c
+        for doc_id, s in streams.items()
+        if (c := _count_phrase(s, terms)) > 0
+    }
+    assert got == want
+
+
+def test_phrase_match_absent_term(spark, pos_index):
+    out = phrase_plan.phrase_match_sharded(
+        spark, pos_index, "zz qq", top_k=10, terms=["zzneverthere", "qqneverthere"]
+    )
+    assert out.count() == 0
+
+
+def test_phrase_requires_positional(spark, plain_index):
+    with pytest.raises(ValueError):
+        phrase_plan.phrase_match_sharded(spark, plain_index, "any thing")
+
+
+# ---------------------------------------------------------------- native column
+def test_phrase_tf_col_vs_bruteforce(spark, streams):
+    from pyspark.sql import functions as F
+
+    terms = _pick_phrase(streams, 2, 4)
+    rows = [(doc_id, s) for doc_id, s in streams.items()]
+    df = spark.createDataFrame(rows, "doc_id string, toks array<string>")
+    got = {
+        r["doc_id"]: r["ptf"]
+        for r in df.select(
+            "doc_id", phrase_plan.phrase_tf_col(F.col("toks"), terms).alias("ptf")
+        ).collect()
+    }
+    want = {doc_id: _count_phrase(s, terms) for doc_id, s in streams.items()}
+    assert got == want
