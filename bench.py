@@ -131,7 +131,8 @@ def run_bench(cpus: int = CPUS, n_docs: int = N_DOCS, sf_dir: str = SF_DIR) -> d
     queries["query_batch_21_wand"] = round(time.time() - t0, 3)
     assert n_wand == n_results, f"wand={n_wand} != exhaustive={n_results}"
 
-    for name in ("bm25_topk", "term_df_top100", "minhash_signatures", "embedding_topk"):
+    for name in ("bm25_topk", "term_df_top100", "minhash_signatures", "embedding_topk",
+                 "phrase_match"):
         fn = entry_queries.QUERIES[name]
         t0 = time.time()
         fn(spark, sf_dir).collect()

@@ -54,6 +54,7 @@ def cmd_build(args) -> int:
         ix = shards.build_and_write_sharded(
             spark, pages, args.out, n_shards=args.shards,
             resumable=args.resumable, n_chunks=args.n_chunks,
+            with_positions=args.positions,
         )
         wall = time.time() - t0
         print(json.dumps({"docs": ix.n_docs, "n_shards": ix.n_shards,
@@ -111,6 +112,19 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_phrase(args) -> int:
+    """Exact phrase query over a positional sharded index (plans/phrase.py)."""
+    from searchengine_spark.operators import shards
+    from searchengine_spark.plans.phrase import phrase_match_sharded
+
+    spark = _spark(args)
+    index = shards.read_sharded_index(spark, args.index)
+    res = phrase_match_sharded(spark, index, " ".join(args.phrase), top_k=args.top_k)
+    for r in res.collect():
+        print(json.dumps({k: r[k] for k in ("doc_id", "url", "phrase_tf")}))
+    return 0
+
+
 def cmd_merge(args) -> int:
     from searchengine_spark.operators import index_build, merge
 
@@ -161,6 +175,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--partitions", type=int, default=32)
     b.add_argument("--resumable", action="store_true")
     b.add_argument("--n-chunks", type=int, default=16)
+    b.add_argument("--positions", action="store_true",
+                   help="store token positions in posting blocks (phrase queries); sharded only")
     b.add_argument("--sharded", action="store_true",
                    help="one-pass compressed sharded build (production path)")
     b.add_argument("--shards", type=int, default=16)
@@ -179,6 +195,12 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--wand", action="store_true")
     q.add_argument("query", nargs="+")
     q.set_defaults(fn=cmd_query)
+
+    ph = sub.add_parser("phrase", help="exact phrase query (positional sharded index)")
+    ph.add_argument("--index", required=True)
+    ph.add_argument("--top-k", type=int, default=20)
+    ph.add_argument("phrase", nargs="+")
+    ph.set_defaults(fn=cmd_phrase)
 
     m = sub.add_parser("merge", help="merge doc-disjoint index segments")
     m.add_argument("--segments", nargs="+", required=True)

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from searchengine_spark.operators import codec
 from searchengine_spark.operators import shards as shards_mod
 from searchengine_spark.operators.index_build import IndexTables
-from searchengine_spark.operators.shards import BLOCK_SCHEMA, DEFAULT_BLOCK_SIZE
+from searchengine_spark.operators.shards import BLOCK_POS_SCHEMA, BLOCK_SCHEMA, DEFAULT_BLOCK_SIZE
 
 
 def _union_all(dfs: list[DataFrame]) -> DataFrame:
@@ -92,26 +92,36 @@ def merge_block_segments(
     u = _union_all(segments)
     if num_partitions:
         u = u.repartition(num_partitions, "shard", "term")
+    with_positions = "pcounts" in u.columns
 
     def regroup(pdf: pd.DataFrame) -> pd.DataFrame:
         frames = []
         for (shard, term), g in pdf.groupby(["shard", "term"], sort=False):
             parts = [codec.decode_postings(r.gaps, r.tfs, r.dls) for r in g.itertuples()]
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "shard": int(shard),
-                        "term": term,
-                        "docno": np.concatenate([p[0].astype(np.int64) for p in parts]),
-                        "tf": np.concatenate([p[1] for p in parts]),
-                        "doc_len": np.concatenate([p[2] for p in parts]),
-                    }
-                )
-            )
+            cols = {
+                "shard": int(shard),
+                "term": term,
+                "docno": np.concatenate([p[0].astype(np.int64) for p in parts]),
+                "tf": np.concatenate([p[1] for p in parts]),
+                "doc_len": np.concatenate([p[2] for p in parts]),
+            }
+            if with_positions:
+                plists: list[np.ndarray] = []
+                for r in g.itertuples():
+                    counts, flat_pos = codec.decode_positions(r.pcounts, r.pgaps)
+                    plists.extend(
+                        np.split(flat_pos.astype(np.int64), np.cumsum(counts)[:-1])
+                    )
+                cols["positions"] = plists
+            frames.append(pd.DataFrame(cols))
         if not frames:
-            return pd.DataFrame(columns=shards_mod._BLOCK_COLS)
+            return pd.DataFrame(
+                columns=shards_mod._BLOCK_POS_COLS
+                if with_positions
+                else shards_mod._BLOCK_COLS
+            )
         flat = pd.concat(frames, ignore_index=True)
-        return shards_mod.encode_blocks_pdf(flat, avgdl, block_size)
+        return shards_mod.encode_blocks_pdf(flat, avgdl, block_size, with_positions)
 
     # same coarse grouping as the build: (shard, term-bucket), per-term
     # split inside the kernel (see operators/shards.py)
@@ -120,7 +130,10 @@ def merge_block_segments(
             "_tb", F.pmod(F.xxhash64("term"), F.lit(shards_mod.TERM_BUCKETS))
         )
         .groupBy("shard", "_tb")
-        .applyInPandas(lambda pdf: regroup(pdf.drop(columns=["_tb"])), BLOCK_SCHEMA)
+        .applyInPandas(
+            lambda pdf: regroup(pdf.drop(columns=["_tb"])),
+            BLOCK_POS_SCHEMA if with_positions else BLOCK_SCHEMA,
+        )
     )
 
 

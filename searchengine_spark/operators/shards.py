@@ -481,6 +481,33 @@ def read_sharded_index(spark: SparkSession, path: str) -> ShardedIndex:
     )
 
 
+def decode_blocks_to_positional_postings(blocks_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Test/verification helper: positional block rows → flat
+    (term, docno, tf, doc_len, positions) with per-posting position lists."""
+    terms, docnos, tfs, dls, poss = [], [], [], [], []
+    for row in blocks_pdf.itertuples(index=False):
+        d, t, dl = codec.decode_postings(row.gaps, row.tfs, row.dls)
+        counts, flat = codec.decode_positions(row.pcounts, row.pgaps)
+        terms.extend([row.term] * len(d))
+        docnos.append(d.astype(np.int64))
+        tfs.append(t)
+        dls.append(dl)
+        poss.extend(
+            [p.tolist() for p in np.split(flat.astype(np.int64), np.cumsum(counts)[:-1])]
+        )
+    if not terms:
+        return pd.DataFrame(columns=["term", "docno", "tf", "doc_len", "positions"])
+    return pd.DataFrame(
+        {
+            "term": terms,
+            "docno": np.concatenate(docnos),
+            "tf": np.concatenate(tfs),
+            "doc_len": np.concatenate(dls),
+            "positions": poss,
+        }
+    )
+
+
 def decode_blocks_to_postings(blocks_pdf: pd.DataFrame) -> pd.DataFrame:
     """Test/verification helper: block rows → flat (term, docno, tf, doc_len).
     Used by the shard-invariance property test (n_shards=1 ≡ n_shards=16)."""
