@@ -135,6 +135,20 @@ TOKENIZED_POS_SCHEMA = StructType(
 )
 
 
+def _tf_only(field_tokens: list[tuple[list[str], float]]) -> tuple[dict[str, float], int]:
+    """Within-row A1 (indexer.py:92-107): per-doc field-weighted tf map.
+    The non-positional hot path — at ~1.6k tokens/doc every extra dict op
+    here is ~10⁸ Python ops per 100k docs, so position tracking lives in
+    the separate :func:`_tf_and_positions` variant."""
+    tf: dict[str, float] = {}
+    n = 0
+    for toks, w in field_tokens:
+        for tok in toks:
+            tf[tok] = tf.get(tok, 0.0) + w
+        n += len(toks)
+    return tf, n
+
+
 def _tf_and_positions(
     field_tokens: list[tuple[list[str], float]],
 ) -> tuple[dict[str, float], dict[str, list[int]], int]:
@@ -204,11 +218,12 @@ def tokenize_documents(
                 # per-doc field-weighted tf map (indexer.py:92-107) — A1 is
                 # a WITHIN-row aggregation, so it is computed map-side here
                 # and the posting build needs no (doc, term) shuffle at all
-                fields = ((tt, TITLE_BOOST), (mt, META_BOOST), (ct, CONTENT_WEIGHT))
-                tf, pos, _ = _tf_and_positions(list(fields))
+                fields = [(tt, TITLE_BOOST), (mt, META_BOOST), (ct, CONTENT_WEIGHT)]
                 if with_positions:
+                    tf, pos, _ = _tf_and_positions(fields)
                     terms_col = [(t, w, pos[t]) for t, w in tf.items()]
                 else:
+                    tf, _ = _tf_only(fields)
                     terms_col = list(tf.items())
                 rows.append(
                     (

@@ -21,6 +21,7 @@ from searchengine_spark.operators.index_build import (
     TOKENIZED_SCHEMA,
     IndexTables,
     _tf_and_positions,
+    _tf_only,
     build_index_tables,
 )
 
@@ -44,10 +45,11 @@ def tokenize_text_documents(
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 content = text or ""
                 ct = textproc.filter_tokens(textproc.tokenize(content), stop)
-                tf, pos, n = _tf_and_positions([(ct, 1.0)])
                 if with_positions:
+                    tf, pos, n = _tf_and_positions([(ct, 1.0)])
                     terms_col = [(t, w, pos[t]) for t, w in tf.items()]
                 else:
+                    tf, n = _tf_only([(ct, 1.0)])
                     terms_col = list(tf.items())
                 rows.append(
                     (
@@ -80,10 +82,11 @@ def tokenize_text_documents_simple(
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 content = text or ""
                 ct = textproc.tokenize_simple(content)
-                tf, pos, n = _tf_and_positions([(ct, 1.0)])
                 if with_positions:
+                    tf, pos, n = _tf_and_positions([(ct, 1.0)])
                     terms_col = [(t, w, pos[t]) for t, w in tf.items()]
                 else:
+                    tf, n = _tf_only([(ct, 1.0)])
                     terms_col = list(tf.items())
                 rows.append(
                     (

@@ -325,8 +325,14 @@ class WandSearchEngine:
                 )
             return pd.concat(out_rows, ignore_index=True)
 
-        # term IN-list prunes the blocks scan (row-group stats on term)
-        blocks = self.index.blocks.filter(F.col("term").isin(term_list))
+        # term IN-list prunes the blocks scan (row-group stats on term);
+        # explicit column select prunes the positional streams (pcounts/
+        # pgaps) when scoring a positional index — BM25 never needs them
+        from searchengine_spark.operators.shards import _BLOCK_COLS
+
+        blocks = self.index.blocks.select(*_BLOCK_COLS).filter(
+            F.col("term").isin(term_list)
+        )
         local_tops = (
             blocks.groupby("shard")
             .cogroup(self.index.docs.groupby("shard"))

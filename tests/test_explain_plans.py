@@ -52,3 +52,40 @@ def test_bm25_query_plan_broadcasts_weights_not_postings(spark, persisted):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
     # the postings side carries the pushed IN-list (dict-lookup analog)
     assert "PushedFilters: [In(term" in plan, plan
+
+
+def test_phrase_blocks_scan_pushes_term_inlist(spark, tmp_path_factory):
+    """The phrase path must reach the parquet scan with the phrase-term
+    IN-list (term-sorted row groups skip) and read only the block columns
+    the kernel needs — not the docs/posting payload of unrelated terms."""
+    from searchengine_spark.operators import shards
+    from searchengine_spark.plans.phrase import phrase_match_sharded
+
+    path = str(tmp_path_factory.mktemp("posidx"))
+    pages = spark.createDataFrame(webgen.generate_pandas(N_DOCS))
+    index = shards.build_and_write_sharded(
+        spark, pages, path, n_shards=2, with_positions=True
+    )
+    out = phrase_match_sharded(spark, index, "make work", terms=["make", "work"])
+    plan = _plan(out)
+    assert "PushedFilters: [In(term" in plan, plan
+
+
+def test_wand_prunes_positional_streams(spark, tmp_path_factory):
+    """WAND over a positional index must not read pcounts/pgaps — the scan
+    schema is the non-positional block columns only."""
+    from searchengine_spark.operators import shards
+    from searchengine_spark.plans.wand import WandSearchEngine
+
+    path = str(tmp_path_factory.mktemp("positwand"))
+    pages = spark.createDataFrame(webgen.generate_pandas(N_DOCS))
+    index = shards.build_and_write_sharded(
+        spark, pages, path, n_shards=2, with_positions=True
+    )
+    qterms = [r["term"] for r in index.term_stats.orderBy("df").limit(2).collect()]
+    res = WandSearchEngine(spark, index).search_batch(
+        [(0, " ".join(qterms))], top_k=5
+    )
+    assert res is not None
+    plan = _plan(res)
+    assert "pcounts" not in plan and "pgaps" not in plan, plan
