@@ -819,6 +819,43 @@ SELECT doc_id, phrase_tf FROM p WHERE phrase_tf > 0
 ORDER BY phrase_tf DESC, doc_id LIMIT 100"""
 
 
+PROX_WINDOW = 5
+
+
+def q_proximity_cooccur(spark, sf_dir) -> DataFrame:
+    """Proximity co-occurrence (positions within a token window) — the
+    Catalyst-native path (plans/phrase.py:cooccur_count_col). The
+    positional-index twin (proximity_match_sharded) is brute-force
+    property-tested in tests/test_phrase.py."""
+    from searchengine_spark.plans.phrase import cooccur_count_col
+
+    toks = _toks(spark, sf_dir)
+    a, b = PHRASE_TERMS
+    return (
+        toks.select(
+            "doc_id",
+            cooccur_count_col(F.col("toks"), a, b, PROX_WINDOW).alias("cooccur"),
+        )
+        .filter(F.col("cooccur") > 0)
+        .orderBy(F.desc("cooccur"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+SQL_PROXIMITY_COOCCUR = f"""WITH {_TOKS_CTE},
+p AS (
+  SELECT doc_id,
+         len(list_filter(
+               list_filter(range(1, len(toks) + 1), i -> toks[i] = '{PHRASE_TERMS[0]}'),
+               a -> len(list_filter(
+                      list_filter(range(1, len(toks) + 1), i -> toks[i] = '{PHRASE_TERMS[1]}'),
+                      b -> abs(a - b) <= {PROX_WINDOW} AND a <> b)) > 0
+             )) AS cooccur
+  FROM toks)
+SELECT doc_id, cooccur FROM p WHERE cooccur > 0
+ORDER BY cooccur DESC, doc_id LIMIT 100"""
+
+
 def q_phrase_sharded(spark, sf_dir) -> DataFrame:
     """Same phrase over the positional compressed sharded index (delta-gap +
     varint position streams, per-shard intersection kernel). Uses the simple
@@ -921,6 +958,7 @@ QUERIES = {
     "ann_ivf_probe": q_ann_ivf_probe,
     "phrase_match": q_phrase_match,
     "phrase_sharded": q_phrase_sharded,
+    "proximity_cooccur": q_proximity_cooccur,
     "bm25_stemmed_topk": q_bm25_stemmed_topk,
     "wand_stemmed_topk": q_wand_stemmed_topk,
     "multimodal_features": q_multimodal_features,
@@ -949,6 +987,7 @@ ORACLE_SQL = {
     "ann_ivf_probe": SQL_ANN_IVF_PROBE,
     "phrase_match": SQL_PHRASE_MATCH,
     "phrase_sharded": SQL_PHRASE_SHARDED,
+    "proximity_cooccur": SQL_PROXIMITY_COOCCUR,
     # bm25_stemmed_topk / wand_stemmed_topk: no SQL oracle (Porter stemming);
     # multimodal_features: no SQL oracle (byte-level featurizer) — rows-only.
 }

@@ -135,24 +135,145 @@ def phrase_match_sharded(
     )
 
 
+def positions_col(toks: Column, term: str) -> Column:
+    """0-based positions of ``term`` in a token-array column — native
+    transform-with-index + filter, one pass over the array."""
+    tagged = F.transform(
+        toks, lambda t, i: F.when(t == F.lit(term), i).otherwise(F.lit(-1))
+    )
+    return F.filter(tagged, lambda i: i >= 0)
+
+
+def cooccur_count_col(toks: Column, term_a: str, term_b: str, window: int) -> Column:
+    """Proximity co-occurrence over a token-array column: the number of
+    ``term_a`` occurrences that have a ``term_b`` within ``window`` tokens
+    (|posA − posB| ≤ window, posA ≠ posB). Native nested array lambdas —
+    no UDF, no shuffle. The positional-index path with the same semantics
+    is :func:`proximity_match_sharded`."""
+    pa = positions_col(toks, term_a)
+    pb = positions_col(toks, term_b)
+    w = F.lit(window)
+    return F.size(
+        F.filter(
+            pa,
+            lambda a: F.exists(
+                pb, lambda b: (F.abs(a - b) <= w) & (a != b)
+            ),
+        )
+    ).cast("long")
+
+
+def _proximity_kernel_factory(term_a: str, term_b: str, window: int, shard_size: int):
+    """Per-shard kernel: positional block rows for the two terms →
+    (shard, docno, cooccur) rows. Fully vectorized: positions are lifted
+    into one global sorted key space (local_docno·2³² + pos, positions
+    < 2³²), so the within-window test for EVERY doc at once is two
+    ``np.searchsorted`` calls — windows cannot cross docs because doc keys
+    differ in the high 32 bits by ≥ 2³² > window."""
+
+    def decode_term(pdf: pd.DataFrame, t: str, base: np.int64) -> np.ndarray:
+        keys = []
+        for row in pdf[pdf["term"] == t].itertuples(index=False):
+            d, _tf, _dl = codec.decode_postings(row.gaps, row.tfs, row.dls)
+            counts, pos = codec.decode_positions(row.pcounts, row.pgaps)
+            docrep = np.repeat(d.astype(np.int64) - base, counts)
+            keys.append((docrep << np.int64(32)) | pos.astype(np.int64))
+        return (
+            np.sort(np.concatenate(keys)) if keys else np.empty(0, dtype=np.int64)
+        )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "shard": pd.Series(dtype="int32"),
+                "docno": pd.Series(dtype="int64"),
+                "cooccur": pd.Series(dtype="int64"),
+            }
+        )
+        if len(pdf) == 0:
+            return empty
+        shard = int(pdf["shard"].iloc[0])
+        base = np.int64(shard) * np.int64(shard_size)
+        ka = decode_term(pdf, term_a, base)
+        kb = decode_term(pdf, term_b, base)
+        if ka.size == 0 or kb.size == 0:
+            return empty
+        # b-positions within [a-window, a+window]: a key window never
+        # reaches a neighboring doc's key range (positions < 2^32 - window)
+        lo = np.searchsorted(kb, ka - window, side="left")
+        hi = np.searchsorted(kb, ka + window, side="right")
+        n_in = hi - lo
+        if term_a == term_b:
+            n_in -= 1  # a matches itself at distance 0
+        ok = n_in > 0
+        if not ok.any():
+            return empty
+        docs, counts = np.unique(ka[ok] >> np.int64(32), return_counts=True)
+        return pd.DataFrame(
+            {
+                "shard": np.full(docs.size, shard, dtype=np.int32),
+                "docno": docs + base,
+                "cooccur": counts.astype(np.int64),
+            }
+        )
+
+    return kernel
+
+
+def proximity_match_sharded(
+    spark: SparkSession,
+    index,
+    term_a: str,
+    term_b: str,
+    window: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Proximity query over a positional :class:`ShardedIndex`: docs where
+    ``term_a`` and ``term_b`` co-occur within ``window`` tokens, ranked by
+    the number of such ``term_a`` occurrences. Same pruned-scan / per-shard
+    locality as :func:`phrase_match_sharded`."""
+    if not index.with_positions:
+        raise ValueError("proximity_match_sharded requires a positional index")
+    kernel = _proximity_kernel_factory(term_a, term_b, window, index.shard_size)
+    matches = (
+        index.blocks.filter(F.col("term").isin([term_a, term_b]))
+        .groupBy("shard")
+        .applyInPandas(
+            lambda pdf: kernel(pdf), "shard int, docno long, cooccur long"
+        )
+    )
+    return (
+        matches.join(index.docs, ["shard", "docno"])
+        .select("doc_id", "url", "content_snippet", "cooccur")
+        .orderBy(F.desc("cooccur"), F.asc("docno"))
+        .limit(top_k)
+    )
+
+
 def phrase_tf_col(toks: Column, terms: list[str]) -> Column:
     """Catalyst-native phrase occurrence count over a token-array column:
     within-row lambda, no UDF, no shuffle. ``terms`` must be the already-
-    normalized token sequence (same tokenizer as the array)."""
+    normalized token sequence (same tokenizer as the array).
+
+    Implementation: zip the n shifted slices of the array and count
+    windows equal to the phrase. The obvious alternative — filter an index
+    ``sequence`` with ``element_at(toks, i+j)`` — is 7× slower when
+    ``toks`` is itself an expression (e.g. the tokenizer): projection
+    collapse inlines that expression into the lambda, so ``element_at``
+    re-tokenizes the row once per window instead of once per slice."""
     n = len(terms)
     if n == 0:
         return F.lit(0).cast("long")
     if n == 1:
         return F.size(F.filter(toks, lambda t: t == F.lit(terms[0]))).cast("long")
 
-    def is_match(i: Column) -> Column:
+    m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, j + 1, m).alias(f"w{j}") for j in range(n)])
+
+    def is_match(s: Column) -> Column:
         cond = F.lit(True)
         for j, t in enumerate(terms):
-            cond = cond & (F.element_at(toks, i + F.lit(j + 1)) == F.lit(t))
+            cond = cond & (s[f"w{j}"] == F.lit(t))
         return cond
 
-    starts = F.when(
-        F.size(toks) >= n,
-        F.filter(F.sequence(F.lit(0), F.size(toks) - F.lit(n)), is_match),
-    ).otherwise(F.array().cast("array<int>"))
-    return F.size(starts).cast("long")
+    return F.size(F.filter(zipped, is_match)).cast("long")

@@ -206,6 +206,93 @@ def test_phrase_requires_positional(spark, plain_index):
         phrase_plan.phrase_match_sharded(spark, plain_index, "any thing")
 
 
+# ---------------------------------------------------------------- proximity
+def _count_cooccur(stream: list[str], a: str, b: str, window: int) -> int:
+    pa = [i for i, t in enumerate(stream) if t == a]
+    pb = [i for i, t in enumerate(stream) if t == b]
+    return sum(1 for i in pa if any(abs(i - j) <= window and i != j for j in pb))
+
+
+def _pick_cooccur_pair(streams, window):
+    """Two distinct terms that co-occur within the window somewhere."""
+    for doc_id in sorted(streams):
+        s = streams[doc_id]
+        for i in range(len(s) - 1):
+            for j in range(i + 1, min(i + window + 1, len(s))):
+                if s[i] != s[j]:
+                    return s[i], s[j]
+    raise AssertionError("no co-occurring pair")
+
+
+@pytest.mark.parametrize("window", [1, 5])
+def test_proximity_sharded_vs_bruteforce(spark, pos_index, streams, window):
+    from searchengine_spark.plans.phrase import proximity_match_sharded
+
+    a, b = _pick_cooccur_pair(streams, window)
+    got = {
+        r["doc_id"]: r["cooccur"]
+        for r in proximity_match_sharded(
+            spark, pos_index, a, b, window=window, top_k=10_000
+        ).collect()
+    }
+    want = {
+        doc_id: c
+        for doc_id, s in streams.items()
+        if (c := _count_cooccur(s, a, b, window)) > 0
+    }
+    assert got == want
+
+
+def test_proximity_sharded_same_term(spark, pos_index, streams):
+    """term_a == term_b: self-matches at distance 0 must not count."""
+    from searchengine_spark.plans.phrase import proximity_match_sharded
+
+    # a term that repeats within 5 tokens somewhere
+    term = None
+    for s in streams.values():
+        for i in range(len(s) - 1):
+            for j in range(i + 1, min(i + 6, len(s))):
+                if s[i] == s[j]:
+                    term = s[i]
+                    break
+            if term:
+                break
+        if term:
+            break
+    if term is None:
+        pytest.skip("no near-repeated token")
+    got = {
+        r["doc_id"]: r["cooccur"]
+        for r in proximity_match_sharded(
+            spark, pos_index, term, term, window=5, top_k=10_000
+        ).collect()
+    }
+    want = {
+        doc_id: c
+        for doc_id, s in streams.items()
+        if (c := _count_cooccur(s, term, term, 5)) > 0
+    }
+    assert got == want
+
+
+def test_cooccur_col_vs_bruteforce(spark, streams):
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.plans.phrase import cooccur_count_col
+
+    a, b = _pick_cooccur_pair(streams, 5)
+    rows = [(doc_id, s) for doc_id, s in streams.items()]
+    df = spark.createDataFrame(rows, "doc_id string, toks array<string>")
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", cooccur_count_col(F.col("toks"), a, b, 5).alias("c")
+        ).collect()
+    }
+    want = {doc_id: _count_cooccur(s, a, b, 5) for doc_id, s in streams.items()}
+    assert got == want
+
+
 # ---------------------------------------------------------------- merge
 def test_positional_block_merge_roundtrip(spark, pos_index):
     """Splitting positional block rows into segments and merging them back
