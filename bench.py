@@ -87,6 +87,7 @@ def run_bench(cpus: int = CPUS, n_docs: int = N_DOCS, sf_dir: str = SF_DIR) -> d
     sharded = shards_mod.build_and_write_sharded(
         spark, pages, os.path.join(BENCH_DIR, f"sharded_{n_docs}_c{cpus}"),
         n_shards=max(cpus, 8),
+        with_positions=bool(os.environ.get("SPARK_GRAFT_BENCH_POSITIONS")),
     )
     queries["index_build"] = round(time.time() - t0, 3)
     docs_per_sec = round(n_docs / queries["index_build"], 1)

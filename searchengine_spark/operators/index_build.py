@@ -42,12 +42,15 @@ import hashlib
 from dataclasses import dataclass
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -124,7 +127,16 @@ TOKENIZED_POS_SCHEMA = StructType(
                     [
                         StructField("term", StringType()),
                         StructField("tf", DoubleType()),
-                        StructField("positions", ArrayType(LongType())),
+                        # positions travel PRE-ENCODED: npos + the term's
+                        # delta-gap varint stream. LEB128 is per-value
+                        # independent and block position streams reset at
+                        # each posting, so per-posting blobs concatenate
+                        # byte-identically into block pgaps — the encode
+                        # kernel never touches individual positions, and
+                        # the posting shuffle moves ~1-byte varints instead
+                        # of 8-byte array elements.
+                        StructField("npos", IntegerType()),
+                        StructField("posv", BinaryType()),
                     ]
                 )
             ),
@@ -133,6 +145,38 @@ TOKENIZED_POS_SCHEMA = StructType(
         StructField("doc_len", DoubleType()),
     ]
 )
+
+
+def _pos_terms_col(
+    tf: dict[str, float], pos: dict[str, list[int]]
+) -> list[tuple[str, float, int, bytes]]:
+    """(term, tf, npos, posv) entries for one doc: all terms' delta-gapped
+    positions varint-encoded in ONE numpy pass, then byte-sliced per term."""
+    from searchengine_spark.operators import codec
+
+    terms = list(tf.keys())
+    lens = np.empty(len(terms), dtype=np.int64)
+    chunks = []
+    for k, t in enumerate(terms):
+        p = pos[t]
+        lens[k] = len(p)
+        chunks.append(p)
+    total = int(lens.sum())
+    flat = np.fromiter(
+        (x for c in chunks for x in c), dtype=np.int64, count=total
+    )
+    gaps = np.empty_like(flat)
+    if flat.size:
+        gaps[1:] = flat[1:] - flat[:-1]
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        gaps[starts] = flat[starts]
+    buf = codec.varint_encode(gaps.astype(np.uint64))
+    ends = np.concatenate(([0], np.cumsum(codec.varint_byte_counts(gaps.astype(np.uint64)))))
+    bounds = np.concatenate(([0], np.cumsum(lens)))
+    return [
+        (t, tf[t], int(lens[k]), buf[ends[bounds[k]] : ends[bounds[k + 1]]])
+        for k, t in enumerate(terms)
+    ]
 
 
 def _tf_only(field_tokens: list[tuple[list[str], float]]) -> tuple[dict[str, float], int]:
@@ -221,7 +265,7 @@ def tokenize_documents(
                 fields = [(tt, TITLE_BOOST), (mt, META_BOOST), (ct, CONTENT_WEIGHT)]
                 if with_positions:
                     tf, pos, _ = _tf_and_positions(fields)
-                    terms_col = [(t, w, pos[t]) for t, w in tf.items()]
+                    terms_col = _pos_terms_col(tf, pos)
                 else:
                     tf, _ = _tf_only(fields)
                     terms_col = list(tf.items())

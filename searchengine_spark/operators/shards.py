@@ -146,20 +146,38 @@ def encode_blocks_pdf(
         "dls": _block_slices(dls_u),
     }
     if with_positions:
-        plists = [np.asarray(x, dtype=np.int64) for x in pdf["positions"].to_numpy()]
-        counts = np.fromiter((p.size for p in plists), dtype=np.int64, count=n)
-        flat = np.concatenate(plists) if plists else np.empty(0, dtype=np.int64)
-        fstarts = np.concatenate(([0], np.cumsum(counts)))  # posting→flat offset
-        # delta-gap the flat stream with reset at each posting's first position
-        pgaps = np.empty(flat.size, dtype=np.int64)
-        if flat.size:
-            pgaps[1:] = flat[1:] - flat[:-1]
-            firsts = fstarts[:-1][counts > 0]
-            pgaps[firsts] = flat[firsts]
-        cols["pcounts"] = _block_slices(counts.astype(np.uint64))
-        cols["pgaps"] = _ranged_slices(
-            pgaps.astype(np.uint64), fstarts[bstarts], fstarts[bends]
-        )
+        if "posv" in pdf.columns:
+            # fast path (the build pipeline): positions arrive pre-encoded
+            # per posting (npos + delta-gap varint blob, index_build.
+            # _pos_terms_col). Per-posting streams reset at their first
+            # position — exactly the block pgaps layout — so a block's
+            # stream is the plain concatenation of its postings' blobs
+            # (byte-identical to encoding the block in one pass); the
+            # kernel never touches an individual position.
+            counts = pdf["npos"].to_numpy(dtype=np.int64)
+            posv = pdf["posv"].to_numpy()
+            cols["pcounts"] = _block_slices(counts.astype(np.uint64))
+            cols["pgaps"] = [
+                b"".join(posv[a:z]) for a, z in zip(bstarts, bends)
+            ]
+        else:
+            # list path (segment merge re-encode): positions as int lists
+            plists = [
+                np.asarray(x, dtype=np.int64) for x in pdf["positions"].to_numpy()
+            ]
+            counts = np.fromiter((p.size for p in plists), dtype=np.int64, count=n)
+            flat = np.concatenate(plists) if plists else np.empty(0, dtype=np.int64)
+            fstarts = np.concatenate(([0], np.cumsum(counts)))
+            # delta-gap the flat stream, reset at each posting's first position
+            pgaps = np.empty(flat.size, dtype=np.int64)
+            if flat.size:
+                pgaps[1:] = flat[1:] - flat[:-1]
+                firsts = fstarts[:-1][counts > 0]
+                pgaps[firsts] = flat[firsts]
+            cols["pcounts"] = _block_slices(counts.astype(np.uint64))
+            cols["pgaps"] = _ranged_slices(
+                pgaps.astype(np.uint64), fstarts[bstarts], fstarts[bends]
+            )
     return pd.DataFrame(cols, columns=_BLOCK_POS_COLS if with_positions else _BLOCK_COLS)
 
 
@@ -381,7 +399,8 @@ def shard_and_write_from_tokenized(
         F.col("doc_len"),
     ]
     if with_positions:
-        posting_cols.append(F.col("tw.positions").alias("positions"))
+        posting_cols.append(F.col("tw.npos").alias("npos"))
+        posting_cols.append(F.col("tw.posv").alias("posv"))
     exploded = tk.select(
         "shard", "docno", "doc_len", F.explode("tf_terms").alias("tw")
     ).select(*posting_cols)

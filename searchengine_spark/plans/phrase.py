@@ -144,26 +144,28 @@ def positions_col(toks: Column, term: str) -> Column:
     return F.filter(tagged, lambda i: i >= 0)
 
 
-def cooccur_count_col(toks: Column, term_a: str, term_b: str, window: int) -> Column:
+def cooccur_count_col(
+    toks: Column, term_a: str, term_b: str, window: int, ordered: bool = False
+) -> Column:
     """Proximity co-occurrence over a token-array column: the number of
     ``term_a`` occurrences that have a ``term_b`` within ``window`` tokens
-    (|posA − posB| ≤ window, posA ≠ posB). Native nested array lambdas —
-    no UDF, no shuffle. The positional-index path with the same semantics
-    is :func:`proximity_match_sharded`."""
+    (unordered: |posA − posB| ≤ window, posA ≠ posB; ordered: 0 < posB −
+    posA ≤ window — "b follows a"). Native nested array lambdas — no UDF,
+    no shuffle. The positional-index path with the same semantics is
+    :func:`proximity_match_sharded`."""
     pa = positions_col(toks, term_a)
     pb = positions_col(toks, term_b)
     w = F.lit(window)
-    return F.size(
-        F.filter(
-            pa,
-            lambda a: F.exists(
-                pb, lambda b: (F.abs(a - b) <= w) & (a != b)
-            ),
-        )
-    ).cast("long")
+    if ordered:
+        pred = lambda a: F.exists(pb, lambda b: (b > a) & (b - a <= w))
+    else:
+        pred = lambda a: F.exists(pb, lambda b: (F.abs(a - b) <= w) & (a != b))
+    return F.size(F.filter(pa, pred)).cast("long")
 
 
-def _proximity_kernel_factory(term_a: str, term_b: str, window: int, shard_size: int):
+def _proximity_kernel_factory(
+    term_a: str, term_b: str, window: int, shard_size: int, ordered: bool = False
+):
     """Per-shard kernel: positional block rows for the two terms →
     (shard, docno, cooccur) rows. Fully vectorized: positions are lifted
     into one global sorted key space (local_docno·2³² + pos, positions
@@ -198,12 +200,14 @@ def _proximity_kernel_factory(term_a: str, term_b: str, window: int, shard_size:
         kb = decode_term(pdf, term_b, base)
         if ka.size == 0 or kb.size == 0:
             return empty
-        # b-positions within [a-window, a+window]: a key window never
-        # reaches a neighboring doc's key range (positions < 2^32 - window)
-        lo = np.searchsorted(kb, ka - window, side="left")
+        # b-positions within the key window: a key window never reaches a
+        # neighboring doc's key range (positions < 2^32 - window). Ordered
+        # mode counts b in (a, a+window]; unordered in [a-window, a+window].
+        lo_key = ka + 1 if ordered else ka - window
+        lo = np.searchsorted(kb, lo_key, side="left")
         hi = np.searchsorted(kb, ka + window, side="right")
         n_in = hi - lo
-        if term_a == term_b:
+        if term_a == term_b and not ordered:
             n_in -= 1  # a matches itself at distance 0
         ok = n_in > 0
         if not ok.any():
@@ -227,14 +231,18 @@ def proximity_match_sharded(
     term_b: str,
     window: int = 5,
     top_k: int = 50,
+    ordered: bool = False,
 ) -> DataFrame:
     """Proximity query over a positional :class:`ShardedIndex`: docs where
-    ``term_a`` and ``term_b`` co-occur within ``window`` tokens, ranked by
-    the number of such ``term_a`` occurrences. Same pruned-scan / per-shard
-    locality as :func:`phrase_match_sharded`."""
+    ``term_a`` and ``term_b`` co-occur within ``window`` tokens (``ordered``
+    restricts to b-follows-a), ranked by the number of such ``term_a``
+    occurrences. Same pruned-scan / per-shard locality as
+    :func:`phrase_match_sharded`."""
     if not index.with_positions:
         raise ValueError("proximity_match_sharded requires a positional index")
-    kernel = _proximity_kernel_factory(term_a, term_b, window, index.shard_size)
+    kernel = _proximity_kernel_factory(
+        term_a, term_b, window, index.shard_size, ordered
+    )
     matches = (
         index.blocks.filter(F.col("term").isin([term_a, term_b]))
         .groupBy("shard")

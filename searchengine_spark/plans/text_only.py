@@ -20,6 +20,7 @@ from searchengine_spark.operators.index_build import (
     TOKENIZED_POS_SCHEMA,
     TOKENIZED_SCHEMA,
     IndexTables,
+    _pos_terms_col,
     _tf_and_positions,
     _tf_only,
     build_index_tables,
@@ -47,7 +48,7 @@ def tokenize_text_documents(
                 ct = textproc.filter_tokens(textproc.tokenize(content), stop)
                 if with_positions:
                     tf, pos, n = _tf_and_positions([(ct, 1.0)])
-                    terms_col = [(t, w, pos[t]) for t, w in tf.items()]
+                    terms_col = _pos_terms_col(tf, pos)
                 else:
                     tf, n = _tf_only([(ct, 1.0)])
                     terms_col = list(tf.items())
@@ -84,7 +85,7 @@ def tokenize_text_documents_simple(
                 ct = textproc.tokenize_simple(content)
                 if with_positions:
                     tf, pos, n = _tf_and_positions([(ct, 1.0)])
-                    terms_col = [(t, w, pos[t]) for t, w in tf.items()]
+                    terms_col = _pos_terms_col(tf, pos)
                 else:
                     tf, n = _tf_only([(ct, 1.0)])
                     terms_col = list(tf.items())

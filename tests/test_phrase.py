@@ -275,6 +275,51 @@ def test_proximity_sharded_same_term(spark, pos_index, streams):
     assert got == want
 
 
+def _count_cooccur_ordered(stream: list[str], a: str, b: str, window: int) -> int:
+    pa = [i for i, t in enumerate(stream) if t == a]
+    pb = [i for i, t in enumerate(stream) if t == b]
+    return sum(1 for i in pa if any(0 < j - i <= window for j in pb))
+
+
+def test_proximity_sharded_ordered_vs_bruteforce(spark, pos_index, streams):
+    from searchengine_spark.plans.phrase import proximity_match_sharded
+
+    a, b = _pick_cooccur_pair(streams, 5)
+    got = {
+        r["doc_id"]: r["cooccur"]
+        for r in proximity_match_sharded(
+            spark, pos_index, a, b, window=5, top_k=10_000, ordered=True
+        ).collect()
+    }
+    want = {
+        doc_id: c
+        for doc_id, s in streams.items()
+        if (c := _count_cooccur_ordered(s, a, b, 5)) > 0
+    }
+    assert got == want
+
+
+def test_cooccur_col_ordered_vs_bruteforce(spark, streams):
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.plans.phrase import cooccur_count_col
+
+    a, b = _pick_cooccur_pair(streams, 5)
+    rows = [(doc_id, s) for doc_id, s in streams.items()]
+    df = spark.createDataFrame(rows, "doc_id string, toks array<string>")
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id",
+            cooccur_count_col(F.col("toks"), a, b, 5, ordered=True).alias("c"),
+        ).collect()
+    }
+    want = {
+        doc_id: _count_cooccur_ordered(s, a, b, 5) for doc_id, s in streams.items()
+    }
+    assert got == want
+
+
 def test_cooccur_col_vs_bruteforce(spark, streams):
     from pyspark.sql import functions as F
 
