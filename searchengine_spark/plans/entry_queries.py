@@ -856,6 +856,47 @@ SELECT doc_id, cooccur FROM p WHERE cooccur > 0
 ORDER BY cooccur DESC, doc_id LIMIT 100"""
 
 
+WINDOW_TERMS = ["fast", "table", "join"]
+WINDOW_W = 10
+
+
+def q_window_cooccur(spark, sf_dir) -> DataFrame:
+    """n-term window co-occurrence (every term within W tokens of an
+    anchor occurrence of the first term) — Catalyst-native path
+    (plans/phrase.py:window_count_col); the positional-index twin
+    (window_match_sharded) is brute-force property-tested."""
+    from searchengine_spark.plans.phrase import window_count_col
+
+    toks = _toks(spark, sf_dir)
+    return (
+        toks.select(
+            "doc_id",
+            window_count_col(F.col("toks"), WINDOW_TERMS, WINDOW_W).alias("cooccur"),
+        )
+        .filter(F.col("cooccur") > 0)
+        .orderBy(F.desc("cooccur"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+_WINDOW_OTHERS = " AND ".join(
+    f"""len(list_filter(
+               list_filter(range(1, len(toks) + 1), i -> toks[i] = '{t}'),
+               b -> abs(a - b) <= {WINDOW_W})) > 0"""
+    for t in WINDOW_TERMS[1:]
+)
+SQL_WINDOW_COOCCUR = f"""WITH {_TOKS_CTE},
+p AS (
+  SELECT doc_id,
+         len(list_filter(
+               list_filter(range(1, len(toks) + 1), i -> toks[i] = '{WINDOW_TERMS[0]}'),
+               a -> {_WINDOW_OTHERS}
+             )) AS cooccur
+  FROM toks)
+SELECT doc_id, cooccur FROM p WHERE cooccur > 0
+ORDER BY cooccur DESC, doc_id LIMIT 100"""
+
+
 def q_phrase_sharded(spark, sf_dir) -> DataFrame:
     """Same phrase over the positional compressed sharded index (delta-gap +
     varint position streams, per-shard intersection kernel). Uses the simple
@@ -959,6 +1000,7 @@ QUERIES = {
     "phrase_match": q_phrase_match,
     "phrase_sharded": q_phrase_sharded,
     "proximity_cooccur": q_proximity_cooccur,
+    "window_cooccur": q_window_cooccur,
     "bm25_stemmed_topk": q_bm25_stemmed_topk,
     "wand_stemmed_topk": q_wand_stemmed_topk,
     "multimodal_features": q_multimodal_features,
@@ -988,6 +1030,7 @@ ORACLE_SQL = {
     "phrase_match": SQL_PHRASE_MATCH,
     "phrase_sharded": SQL_PHRASE_SHARDED,
     "proximity_cooccur": SQL_PROXIMITY_COOCCUR,
+    "window_cooccur": SQL_WINDOW_COOCCUR,
     # bm25_stemmed_topk / wand_stemmed_topk: no SQL oracle (Porter stemming);
     # multimodal_features: no SQL oracle (byte-level featurizer) — rows-only.
 }

@@ -258,6 +258,112 @@ def proximity_match_sharded(
     )
 
 
+def window_count_col(toks: Column, terms: list[str], window: int) -> Column:
+    """n-term window co-occurrence over a token-array column: the number of
+    ``terms[0]`` occurrences (anchors) that have EVERY other term within
+    ``window`` tokens (|posA − posB| ≤ window). Duplicate terms collapse
+    (an anchor is within 0 of itself). Native nested array lambdas."""
+    w = F.lit(window)
+    pa = positions_col(toks, terms[0])
+    others = [t for t in dict.fromkeys(terms[1:]) if t != terms[0]]
+
+    def pred(a: Column) -> Column:
+        cond = F.lit(True)
+        for t in others:
+            pb = positions_col(toks, t)
+            cond = cond & F.exists(pb, lambda b: F.abs(a - b) <= w)
+        return cond
+
+    return F.size(F.filter(pa, pred)).cast("long")
+
+
+def _window_kernel_factory(terms: list[str], window: int, shard_size: int):
+    """Per-shard kernel for n-term window co-occurrence: anchors are
+    ``terms[0]`` occurrences; each other term contributes one pair of
+    ``np.searchsorted`` bound arrays over the shared 64-bit key space
+    (local_docno·2³² + pos) — n−1 vectorized membership tests, no
+    per-document loop."""
+    others = [t for t in dict.fromkeys(terms[1:]) if t != terms[0]]
+
+    def decode_term(pdf: pd.DataFrame, t: str, base: np.int64) -> np.ndarray:
+        keys = []
+        for row in pdf[pdf["term"] == t].itertuples(index=False):
+            d, _tf, _dl = codec.decode_postings(row.gaps, row.tfs, row.dls)
+            counts, pos = codec.decode_positions(row.pcounts, row.pgaps)
+            docrep = np.repeat(d.astype(np.int64) - base, counts)
+            keys.append((docrep << np.int64(32)) | pos.astype(np.int64))
+        return np.sort(np.concatenate(keys)) if keys else np.empty(0, dtype=np.int64)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "shard": pd.Series(dtype="int32"),
+                "docno": pd.Series(dtype="int64"),
+                "cooccur": pd.Series(dtype="int64"),
+            }
+        )
+        if len(pdf) == 0:
+            return empty
+        shard = int(pdf["shard"].iloc[0])
+        base = np.int64(shard) * np.int64(shard_size)
+        ka = decode_term(pdf, terms[0], base)
+        if ka.size == 0:
+            return empty
+        ok = np.ones(ka.size, dtype=bool)
+        for t in others:
+            kb = decode_term(pdf, t, base)
+            if kb.size == 0:
+                return empty
+            lo = np.searchsorted(kb, ka - window, side="left")
+            hi = np.searchsorted(kb, ka + window, side="right")
+            ok &= hi > lo
+            if not ok.any():
+                return empty
+        docs, counts = np.unique(ka[ok] >> np.int64(32), return_counts=True)
+        return pd.DataFrame(
+            {
+                "shard": np.full(docs.size, shard, dtype=np.int32),
+                "docno": docs + base,
+                "cooccur": counts.astype(np.int64),
+            }
+        )
+
+    return kernel
+
+
+def window_match_sharded(
+    spark: SparkSession,
+    index,
+    terms: list[str],
+    window: int = 10,
+    top_k: int = 50,
+) -> DataFrame:
+    """n-term window query over a positional :class:`ShardedIndex`: docs
+    where every term occurs within ``window`` tokens of a ``terms[0]``
+    occurrence, ranked by the number of such anchors. Same pruned-scan /
+    per-shard locality as :func:`phrase_match_sharded`."""
+    if not index.with_positions:
+        raise ValueError("window_match_sharded requires a positional index")
+    if not terms:
+        return spark.createDataFrame(
+            [], "doc_id string, url string, content_snippet string, cooccur long"
+        )
+    kernel = _window_kernel_factory(terms, window, index.shard_size)
+    matches = (
+        index.blocks.filter(F.col("term").isin(list(set(terms))))
+        .groupBy("shard")
+        .applyInPandas(
+            lambda pdf: kernel(pdf), "shard int, docno long, cooccur long"
+        )
+    )
+    return (
+        matches.join(index.docs, ["shard", "docno"])
+        .select("doc_id", "url", "content_snippet", "cooccur")
+        .orderBy(F.desc("cooccur"), F.asc("docno"))
+        .limit(top_k)
+    )
+
+
 def phrase_tf_col(toks: Column, terms: list[str]) -> Column:
     """Catalyst-native phrase occurrence count over a token-array column:
     within-row lambda, no UDF, no shuffle. ``terms`` must be the already-

@@ -377,3 +377,65 @@ def test_phrase_tf_col_vs_bruteforce(spark, streams):
     }
     want = {doc_id: _count_phrase(s, terms) for doc_id, s in streams.items()}
     assert got == want
+
+
+# ---------------------------------------------------------------- n-term window
+def _count_window(stream, terms, window):
+    pa = [i for i, t in enumerate(stream) if t == terms[0]]
+    others = [t for t in dict.fromkeys(terms[1:]) if t != terms[0]]
+    count = 0
+    for a in pa:
+        if all(
+            any(abs(a - j) <= window for j, t2 in enumerate(stream) if t2 == t)
+            for t in others
+        ):
+            count += 1
+    return count
+
+
+def _pick_window_triple(streams, window):
+    for doc_id in sorted(streams):
+        s = streams[doc_id]
+        for i in range(len(s)):
+            near = {s[j] for j in range(max(0, i - window), min(len(s), i + window + 1))}
+            near.discard(s[i])
+            if len(near) >= 2:
+                o = sorted(near)[:2]
+                return [s[i], o[0], o[1]]
+    raise AssertionError("no window triple")
+
+
+def test_window_sharded_vs_bruteforce(spark, pos_index, streams):
+    from searchengine_spark.plans.phrase import window_match_sharded
+
+    terms = _pick_window_triple(streams, 10)
+    got = {
+        r["doc_id"]: r["cooccur"]
+        for r in window_match_sharded(
+            spark, pos_index, terms, window=10, top_k=10_000
+        ).collect()
+    }
+    want = {
+        doc_id: c
+        for doc_id, s in streams.items()
+        if (c := _count_window(s, terms, 10)) > 0
+    }
+    assert got == want
+
+
+def test_window_count_col_vs_bruteforce(spark, streams):
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.plans.phrase import window_count_col
+
+    terms = _pick_window_triple(streams, 10)
+    rows = [(doc_id, s) for doc_id, s in streams.items()]
+    df = spark.createDataFrame(rows, "doc_id string, toks array<string>")
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", window_count_col(F.col("toks"), terms, 10).alias("c")
+        ).collect()
+    }
+    want = {doc_id: _count_window(s, terms, 10) for doc_id, s in streams.items()}
+    assert got == want
