@@ -135,6 +135,77 @@ def phrase_match_sharded(
     )
 
 
+def phrase_batch_sharded(
+    spark: SparkSession,
+    index,
+    batch: list[tuple[int, str]],
+    top_k: int = 50,
+) -> DataFrame:
+    """Batched phrase queries: ONE pruned blocks scan + ONE per-shard
+    kernel pass answers every phrase (the batch analog of
+    plans/bm25.search_batch — at 100 TB the scan dominates, so per-phrase
+    jobs waste it). Returns (query_id, rank, doc_id, url, content_snippet,
+    phrase_tf) rows for phrases with ≥1 match."""
+    if not index.with_positions:
+        raise ValueError("phrase_batch_sharded requires a positional index")
+    phrases: dict[int, list[str]] = {
+        qid: analyze_phrase(text) for qid, text in batch
+    }
+    phrases = {qid: t for qid, t in phrases.items() if t}
+    if not phrases:
+        return spark.createDataFrame(
+            [],
+            "query_id int, rank int, doc_id string, url string, "
+            "content_snippet string, phrase_tf long",
+        )
+    all_terms = sorted({t for terms in phrases.values() for t in terms})
+    kernels = {
+        qid: _phrase_kernel_factory(terms, index.shard_size)
+        for qid, terms in phrases.items()
+    }
+
+    def batch_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for qid, kernel in kernels.items():
+            sub = kernel(pdf)
+            if len(sub):
+                sub.insert(0, "query_id", np.int32(qid))
+                frames.append(sub)
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int32"),
+                    "shard": pd.Series(dtype="int32"),
+                    "docno": pd.Series(dtype="int64"),
+                    "phrase_tf": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    matches = (
+        index.blocks.filter(F.col("term").isin(all_terms))
+        .groupBy("shard")
+        .applyInPandas(
+            lambda pdf: batch_kernel(pdf),
+            "query_id int, shard int, docno long, phrase_tf long",
+        )
+    )
+    from pyspark.sql import Window
+
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.desc("phrase_tf"), F.asc("docno")
+    )
+    return (
+        matches.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= top_k)
+        .join(index.docs, ["shard", "docno"])
+        .select(
+            "query_id", "rank", "doc_id", "url", "content_snippet", "phrase_tf"
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def positions_col(toks: Column, term: str) -> Column:
     """0-based positions of ``term`` in a token-array column — native
     transform-with-index + filter, one pass over the array."""

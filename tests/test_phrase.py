@@ -439,3 +439,28 @@ def test_window_count_col_vs_bruteforce(spark, streams):
     }
     want = {doc_id: _count_window(s, terms, 10) for doc_id, s in streams.items()}
     assert got == want
+
+
+# ---------------------------------------------------------------- batch
+def test_phrase_batch_equals_individual(spark, pos_index, streams):
+    """One batched job answers each phrase identically to its own job."""
+    batch = [
+        (0, " ".join(_pick_phrase(streams, 2, 0))),
+        (1, " ".join(_pick_phrase(streams, 2, 7))),
+        (2, " ".join(_pick_phrase(streams, 3, 3))),
+        (3, "zzneverthere qqneverthere"),
+    ]
+    got = {}
+    for r in phrase_plan.phrase_batch_sharded(
+        spark, pos_index, batch, top_k=10_000
+    ).collect():
+        got.setdefault(r["query_id"], {})[r["doc_id"]] = r["phrase_tf"]
+    for qid, text in batch:
+        terms = phrase_plan.analyze_phrase(text)
+        want = {
+            r["doc_id"]: r["phrase_tf"]
+            for r in phrase_plan.phrase_match_sharded(
+                spark, pos_index, text, top_k=10_000, terms=terms
+            ).collect()
+        }
+        assert got.get(qid, {}) == want, (qid, text)
