@@ -127,11 +127,14 @@ def phrase_match_sharded(
         .groupBy("shard")
         .applyInPandas(lambda pdf: kernel(pdf), PHRASE_RESULT_SCHEMA)
     )
+    # top-k BEFORE the docs join: the ranked match set is ≤ top_k rows, so
+    # the metadata join is a broadcast hash join — the big docs table is
+    # never shuffled (scan-only), which is what survives at 10^12 docs.
+    topk = matches.orderBy(F.desc("phrase_tf"), F.asc("docno")).limit(top_k)
     return (
-        matches.join(index.docs, ["shard", "docno"])
+        index.docs.join(F.broadcast(topk), ["shard", "docno"])
         .select("doc_id", "url", "content_snippet", "phrase_tf")
         .orderBy(F.desc("phrase_tf"), F.asc("docno"))
-        .limit(top_k)
     )
 
 
@@ -195,10 +198,11 @@ def phrase_batch_sharded(
     rank_w = Window.partitionBy("query_id").orderBy(
         F.desc("phrase_tf"), F.asc("docno")
     )
+    topk = matches.withColumn("rank", F.row_number().over(rank_w)).filter(
+        F.col("rank") <= top_k
+    )
     return (
-        matches.withColumn("rank", F.row_number().over(rank_w))
-        .filter(F.col("rank") <= top_k)
-        .join(index.docs, ["shard", "docno"])
+        index.docs.join(F.broadcast(topk), ["shard", "docno"])
         .select(
             "query_id", "rank", "doc_id", "url", "content_snippet", "phrase_tf"
         )
@@ -321,11 +325,11 @@ def proximity_match_sharded(
             lambda pdf: kernel(pdf), "shard int, docno long, cooccur long"
         )
     )
+    topk = matches.orderBy(F.desc("cooccur"), F.asc("docno")).limit(top_k)
     return (
-        matches.join(index.docs, ["shard", "docno"])
+        index.docs.join(F.broadcast(topk), ["shard", "docno"])
         .select("doc_id", "url", "content_snippet", "cooccur")
         .orderBy(F.desc("cooccur"), F.asc("docno"))
-        .limit(top_k)
     )
 
 
@@ -427,11 +431,11 @@ def window_match_sharded(
             lambda pdf: kernel(pdf), "shard int, docno long, cooccur long"
         )
     )
+    topk = matches.orderBy(F.desc("cooccur"), F.asc("docno")).limit(top_k)
     return (
-        matches.join(index.docs, ["shard", "docno"])
+        index.docs.join(F.broadcast(topk), ["shard", "docno"])
         .select("doc_id", "url", "content_snippet", "cooccur")
         .orderBy(F.desc("cooccur"), F.asc("docno"))
-        .limit(top_k)
     )
 
 

@@ -89,3 +89,19 @@ def test_wand_prunes_positional_streams(spark, tmp_path_factory):
     assert res is not None
     plan = _plan(res)
     assert "pcounts" not in plan and "pgaps" not in plan, plan
+
+
+def test_phrase_docs_join_is_broadcast(spark, tmp_path_factory):
+    """Doc-metadata lookup for phrase results must broadcast the ranked
+    top-k side — the docs table is never shuffled."""
+    from searchengine_spark.operators import shards
+    from searchengine_spark.plans.phrase import phrase_match_sharded
+
+    path = str(tmp_path_factory.mktemp("posidx2"))
+    pages = spark.createDataFrame(webgen.generate_pandas(N_DOCS))
+    index = shards.build_and_write_sharded(
+        spark, pages, path, n_shards=2, with_positions=True
+    )
+    out = phrase_match_sharded(spark, index, "make work", terms=["make", "work"])
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan, plan
