@@ -3,8 +3,12 @@
 Packaging (north rule): zip the package and submit any subcommand::
 
     zip -r searchengine_spark.zip searchengine_spark
-    spark-submit --py-files searchengine_spark.zip -m searchengine_spark.cli \\
+    spark-submit --py-files searchengine_spark.zip searchengine_spark/cli.py \\
         build --input /data/web_pages --out /data/index --resumable
+
+(spark-submit takes an application *file*; the package imports inside it
+resolve from the ``--py-files`` zip on every executor — exercised end-to-end
+by ``tests/test_spark_submit.py``.)
 
 Locally the same module runs as ``python -m searchengine_spark.cli ...``
 (Spark local mode). Subcommands mirror the reference's scripts:
