@@ -53,7 +53,7 @@ def tokenize_filtered(text: pd.Series) -> pd.Series:
     """tokenize (text_processing.py:40-81) + stopword/length filter
     (indexer.py:73-90) with the default 40-word stopword list."""
     return text.map(
-        lambda t: textproc.filter_tokens(textproc.tokenize(t or ""), DEFAULT_STOPWORDS)
+        lambda t: textproc.tokenize_filtered(t or "", DEFAULT_STOPWORDS)
     )
 
 

@@ -256,9 +256,9 @@ def tokenize_documents(
                     contents.append(textproc.extract_text_from_html(html))
             rows = []
             for url, title, meta, content in zip(pdf["url"], titles, metas, contents):
-                tt = textproc.filter_tokens(textproc.tokenize(title), stop)
-                mt = textproc.filter_tokens(textproc.tokenize(meta), stop)
-                ct = textproc.filter_tokens(textproc.tokenize(content), stop)
+                tt = textproc.tokenize_filtered(title, stop)
+                mt = textproc.tokenize_filtered(meta, stop)
+                ct = textproc.tokenize_filtered(content, stop)
                 # per-doc field-weighted tf map (indexer.py:92-107) — A1 is
                 # a WITHIN-row aggregation, so it is computed map-side here
                 # and the posting build needs no (doc, term) shuffle at all
@@ -374,9 +374,9 @@ def tokenize_extracted_documents(
                 pdf["meta_description"],
                 pdf["content"],
             ):
-                tt = textproc.filter_tokens(textproc.tokenize(title or ""), stop)
-                mt = textproc.filter_tokens(textproc.tokenize(meta or ""), stop)
-                ct = textproc.filter_tokens(textproc.tokenize(content or ""), stop)
+                tt = textproc.tokenize_filtered(title or "", stop)
+                mt = textproc.tokenize_filtered(meta or "", stop)
+                ct = textproc.tokenize_filtered(content or "", stop)
                 tf: dict[str, float] = {}
                 for toks, w in ((tt, TITLE_BOOST), (mt, META_BOOST), (ct, CONTENT_WEIGHT)):
                     for tok in toks:

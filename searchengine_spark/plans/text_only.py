@@ -45,7 +45,7 @@ def tokenize_text_documents(
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 content = text or ""
-                ct = textproc.filter_tokens(textproc.tokenize(content), stop)
+                ct = textproc.tokenize_filtered(content, stop)
                 if with_positions:
                     tf, pos, n = _tf_and_positions([(ct, 1.0)])
                     terms_col = _pos_terms_col(tf, pos)

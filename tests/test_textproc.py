@@ -98,3 +98,37 @@ def test_reference_queries_shape():
     qs = webgen.reference_queries()
     assert len(qs) == 21
     assert qs[9][1] == webgen.planted_term(0)
+
+
+def test_tokenize_filtered_equals_composition():
+    """Fused hot path ≡ filter_tokens(tokenize(.)) (the executable spec)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from searchengine_spark.functions.textproc import (
+        filter_tokens,
+        tokenize,
+        tokenize_filtered,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", categories=("L", "N", "P", "Z", "S")
+            ),
+            max_size=400,
+        )
+    )
+    def check(text):
+        assert tokenize_filtered(text) == filter_tokens(tokenize(text))
+
+    check()
+    # targeted edges: entities, urls, hyphens, 1-char and >20-char tokens,
+    # stopword-stemming interactions ("running" → "run"? no — stopwords are
+    # checked POST-stem in both paths)
+    for s in (
+        "", "a", "ab", "the a of", "&amp; x-ray https://e.com/q?z=1 tail",
+        "running the runner runs", "x" * 21, "a-b-c d--e", "Café — cafés",
+    ):
+        assert tokenize_filtered(s) == filter_tokens(tokenize(s))
