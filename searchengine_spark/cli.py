@@ -96,6 +96,21 @@ def cmd_optimize(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Inverse of ``optimize``: compressed sharded index → logical tables
+    (vectorized block decode; never re-tokenizes)."""
+    from searchengine_spark.operators import shards
+
+    spark = _spark(args)
+    index = shards.read_sharded_index(spark, args.index)
+    tables = shards.export_and_write_index(
+        spark, index, args.out, postings_partitions=args.partitions
+    )
+    n = tables.stats.collect()[0]["n_docs"]
+    print(json.dumps({"exported_docs": int(n), "path": args.out}))
+    return 0
+
+
 def cmd_query(args) -> int:
     from searchengine_spark.operators import index_build, shards
     from searchengine_spark.plans.bm25 import BM25SearchEngine
@@ -192,6 +207,12 @@ def main(argv: list[str] | None = None) -> int:
     o.add_argument("--shards", type=int, default=16)
     o.add_argument("--block-size", type=int, default=128)
     o.set_defaults(fn=cmd_optimize)
+
+    e = sub.add_parser("export", help="sharded compressed index → logical tables")
+    e.add_argument("--index", required=True)
+    e.add_argument("--out", required=True)
+    e.add_argument("--partitions", type=int, default=32)
+    e.set_defaults(fn=cmd_export)
 
     q = sub.add_parser("query", help="BM25 top-k (exhaustive or --wand)")
     q.add_argument("--index", required=True)

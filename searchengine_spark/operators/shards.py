@@ -288,14 +288,19 @@ def build_sharded_index(
         lambda pdf: encode_part(pdf.drop(columns=["_tb"])), BLOCK_SCHEMA
     )
 
-    docs = tables.docs.join(docnos, "doc_id").select(
-        (F.col("docno") / shard_size).cast("int").alias("shard"),
-        "docno",
-        "doc_id",
-        "url",
-        "title",
-        "description",
-        "content_snippet",
+    docs = (
+        tables.docs.join(docnos, "doc_id")
+        .join(tables.doc_stats.select("doc_id", "doc_len"), "doc_id")
+        .select(
+            (F.col("docno") / shard_size).cast("int").alias("shard"),
+            "docno",
+            "doc_id",
+            "url",
+            "title",
+            "description",
+            "content_snippet",
+            "doc_len",
+        )
     )
 
     return ShardedIndex(
@@ -420,7 +425,8 @@ def shard_and_write_from_tokenized(
 
     (
         tk.select(
-            "shard", "docno", "doc_id", "url", "title", "description", "content_snippet"
+            "shard", "docno", "doc_id", "url", "title", "description",
+            "content_snippet", "doc_len",
         )
         .repartition(n_shards, "shard")
         .sortWithinPartitions("shard", "docno")
@@ -547,3 +553,74 @@ def decode_blocks_to_postings(blocks_pdf: pd.DataFrame) -> pd.DataFrame:
             "doc_len": np.concatenate(dls),
         }
     )
+
+
+def export_index(spark: SparkSession, index: ShardedIndex) -> "IndexTables":
+    """Inverse of :func:`build_sharded_index` (the CLI's ``optimize``):
+    compressed sharded blocks → the logical ``IndexTables`` layout.
+
+    Layout conversion never re-tokenizes. The blocks already carry every
+    posting (term, docno, tf, doc_len) and ``docs_sharded`` carries doc
+    metadata + doc_len, so export is one vectorized decode pass
+    (``mapInPandas`` over block rows — numpy varint/delta-gap decode, no
+    per-row Python) plus a docno→doc_id mapping join: broadcast below 20M
+    docs, doc-keyed shuffle join beyond. At 100 TB this is pure I/O + numpy,
+    ~10× cheaper than rebuilding from ``web_pages`` (the tokenize stage is
+    the dominant build cost), which is how a production pipeline should
+    derive secondary layouts: tokenize once, convert layouts thereafter.
+    """
+    from searchengine_spark.operators.index_build import IndexTables
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield decode_blocks_to_postings(pdf)
+
+    decoded = index.blocks.select("term", "gaps", "tfs", "dls").mapInPandas(
+        decode, "term string, docno long, tf double, doc_len double"
+    )
+    mapping = index.docs.select("docno", "doc_id")
+    if index.n_docs <= 20_000_000:
+        mapping = F.broadcast(mapping)
+    postings = decoded.join(mapping, "docno").select("term", "doc_id", "tf", "doc_len")
+
+    docs = index.docs.select("doc_id", "url", "title", "description", "content_snippet")
+    if "doc_len" in index.docs.columns:
+        doc_stats = index.docs.select("doc_id", "doc_len")
+    else:
+        # pre-doc_len docs_sharded layouts: recover doc_len from any posting
+        # of the doc (identical across a doc's postings). Caveat: docs with
+        # zero postings (all tokens filtered) are absent from blocks, so
+        # this fallback misses them; current builds store doc_len in docs.
+        doc_stats = (
+            decoded.groupBy("docno")
+            .agg(F.first("doc_len").alias("doc_len"))
+            .join(mapping, "docno")
+            .select("doc_id", "doc_len")
+        )
+    stats = spark.createDataFrame(
+        [(index.n_docs, float(index.avgdl))], "n_docs long, avgdl double"
+    )
+    return IndexTables(
+        docs=docs,
+        postings=postings,
+        doc_stats=doc_stats,
+        term_stats=index.term_stats.select("term", "df", "idf"),
+        stats=stats,
+    )
+
+
+def export_and_write_index(
+    spark: SparkSession,
+    index: ShardedIndex,
+    path: str,
+    postings_partitions: int = 32,
+) -> "IndexTables":
+    """Export + persist in the standard logical layout (hash-bucket posting
+    directories; see ``index_build.write_index``) and return the re-read
+    tables — the exact shape ``BM25SearchEngine`` and the DuckDB-checkable
+    entry queries consume."""
+    from searchengine_spark.operators import index_build
+
+    tables = export_index(spark, index)
+    index_build.write_index(tables, path, postings_partitions)
+    return index_build.read_index(spark, path)

@@ -333,9 +333,16 @@ class WandSearchEngine:
         blocks = self.index.blocks.select(*_BLOCK_COLS).filter(
             F.col("term").isin(term_list)
         )
+        # prune the docs side of the cogroup to what the kernel reads
+        # (docs_sharded also carries doc_len for layout export — BM25
+        # scoring gets doc_len from the blocks, not from here)
+        docs_side = self.index.docs.select(
+            "shard", "docno", "doc_id", "url", "title", "description",
+            "content_snippet",
+        )
         local_tops = (
             blocks.groupby("shard")
-            .cogroup(self.index.docs.groupby("shard"))
+            .cogroup(docs_side.groupby("shard"))
             .applyInPandas(lambda left, right: kernel(left, right), _OUT_SCHEMA)
         )
 
