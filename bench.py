@@ -166,7 +166,7 @@ SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "1000000"))
 SCALING_CPUS = tuple(
     int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_CPUS", "4,16").split(",")
 )
-SCALING_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
+SCALING_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
 
 
 def _warm_cache(n_docs: int) -> None:

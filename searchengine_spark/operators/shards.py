@@ -265,12 +265,16 @@ def build_sharded_index(
     if docnos is None:
         docnos = assign_docnos(spark, tables.doc_stats.select("doc_id"))
 
+    # tf/doc_len are integral by construction (integer field weights ×
+    # counts; the encode kernel asserts this) — ship them through the
+    # posting shuffle as int32, not double: 8 fewer bytes on every one of
+    # the ~177 posting rows per doc, the build's single big exchange.
     with_no = tables.postings.join(docnos, "doc_id").select(
         (F.col("docno") / shard_size).cast("int").alias("shard"),
         "term",
         "docno",
-        "tf",
-        "doc_len",
+        F.col("tf").cast("int").alias("tf"),
+        F.col("doc_len").cast("int").alias("doc_len"),
     )
 
     def encode_part(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -396,12 +400,14 @@ def shard_and_write_from_tokenized(
         "shard", (F.col("docno") / shard_size).cast("int")
     )
 
+    # int32 tf/doc_len through the build's single big shuffle (integral by
+    # construction; the encode kernel asserts it and re-widens to float64)
     posting_cols = [
         F.col("shard"),
         F.col("tw.term").alias("term"),
         F.col("docno"),
-        F.col("tw.tf").alias("tf"),
-        F.col("doc_len"),
+        F.col("tw.tf").cast("int").alias("tf"),
+        F.col("doc_len").cast("int").alias("doc_len"),
     ]
     if with_positions:
         posting_cols.append(F.col("tw.npos").alias("npos"))

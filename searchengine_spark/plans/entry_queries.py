@@ -927,6 +927,31 @@ def q_phrase_sharded(spark, sf_dir) -> DataFrame:
 SQL_PHRASE_SHARDED = SQL_PHRASE_MATCH
 
 
+def q_postings_export_roundtrip(spark, sf_dir) -> DataFrame:
+    """Posting rows round-tripped through the full compressed physical
+    layout: simple-tokenized documents → one-pass sharded build (delta-gap
+    + varint blocks, block-max metadata) → ``shards.export_index`` decode →
+    logical postings. Must equal the directly-computed ``postings_sample``
+    (same DuckDB oracle checks both), so the codec encode/decode and the
+    layout-export operator sit under the driver's correctness gate."""
+    import tempfile
+
+    from searchengine_spark.operators import shards
+    from searchengine_spark.plans.text_only import tokenize_text_documents_simple
+
+    tokenized = tokenize_text_documents_simple(_documents(spark, sf_dir))
+    path = tempfile.mkdtemp(prefix="export_roundtrip_")
+    index = shards.shard_and_write_from_tokenized(spark, tokenized, path, n_shards=8)
+    tables = shards.export_index(spark, index)
+    return (
+        tables.postings.filter(F.col("term").isin(POSTING_TERMS))
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "term", "tf")
+    )
+
+
+SQL_POSTINGS_EXPORT_ROUNDTRIP = SQL_POSTINGS_SAMPLE
+
+
 # ---------------------------------------------------------------- rows-only (non-SQL) queries
 def q_bm25_stemmed_topk(spark, sf_dir) -> DataFrame:
     """Full engine (Porter-stemmed tokenizer + boost chain) over the
@@ -999,6 +1024,7 @@ QUERIES = {
     "ann_ivf_probe": q_ann_ivf_probe,
     "phrase_match": q_phrase_match,
     "phrase_sharded": q_phrase_sharded,
+    "postings_export_roundtrip": q_postings_export_roundtrip,
     "proximity_cooccur": q_proximity_cooccur,
     "window_cooccur": q_window_cooccur,
     "bm25_stemmed_topk": q_bm25_stemmed_topk,
@@ -1029,6 +1055,7 @@ ORACLE_SQL = {
     "ann_ivf_probe": SQL_ANN_IVF_PROBE,
     "phrase_match": SQL_PHRASE_MATCH,
     "phrase_sharded": SQL_PHRASE_SHARDED,
+    "postings_export_roundtrip": SQL_POSTINGS_EXPORT_ROUNDTRIP,
     "proximity_cooccur": SQL_PROXIMITY_COOCCUR,
     "window_cooccur": SQL_WINDOW_COOCCUR,
     # bm25_stemmed_topk / wand_stemmed_topk: no SQL oracle (Porter stemming);
