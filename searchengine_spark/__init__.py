@@ -5,8 +5,8 @@ reference single-process search engine (adarshukla3005/SearchEngine):
 HTML→text extraction, tokenization + Porter stemming, field-weighted
 inverted-index construction, BM25 scoring with the reference's boost
 chain, and exact top-k retrieval — built on the DataFrame API, Arrow
-pandas UDFs (no per-row Python), salted aggregation for Zipf-skewed
-terms, delta-gap+varint posting compression, block-max WAND, and
+pandas UDFs (no per-row Python), doc-range sharding of Zipf-skewed
+head terms, delta-gap+varint posting compression, block-max WAND, and
 checkpoint-resumable builds with per-partition lineage.
 
 Reference semantics citations use ``file:line`` of the read-only

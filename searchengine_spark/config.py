@@ -48,9 +48,12 @@ DEFAULT_STOPWORDS: frozenset[str] = frozenset({
 
 # --- Index layout knobs (engine-side; no reference analog — the reference
 # is single-process and keeps everything in RAM) ---
-# Salting factor for head-term posting aggregation (Zipf skew). Postings for a
-# term are first grouped by (term, salt) then merged; property-tested S=1 ≡ S=16.
-DEFAULT_SALT_BUCKETS: int = 16
+# Zipf-skew handling: head-term postings are never aggregated into one task.
+# The compressed layout shards every term's postings by contiguous docno range
+# (operators/shards.py — the "salting" analog with ordered, block-codable
+# ranges); property-tested n_shards=1 ≡ n_shards=8 in tests/test_wand.py. The
+# logical postings layout stays a flat (term, doc_id, tf) table hash-bucketed
+# by term — no per-term collect_list exists anywhere in the build.
 # Posting block size for the delta-gap+varint codec (docs per block); each
 # block carries (max_tf, max_doc_id) metadata for block-max WAND.
 POSTING_BLOCK_SIZE: int = 128
