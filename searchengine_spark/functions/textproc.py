@@ -41,6 +41,10 @@ _RE_WS = re.compile(r"\s+")  # text_processing.py:91
 _RE_ENTITY = re.compile(r"&\w+;")  # text_processing.py:51
 _RE_URL = re.compile(r"https?://\S+")  # text_processing.py:54
 _RE_NONWORD = re.compile(r"[^\w\s-]")  # text_processing.py:57
+# Fused hot-path variant: sub([^\w\s-])→' ' then replace('-',' ') is exactly
+# sub([^\w\s])→' ' in one C pass (any non-word non-space char, hyphen
+# included, becomes a space either way).
+_RE_NONWORD_OR_HYPHEN = re.compile(r"[^\w\s]")
 _RE_TITLE = re.compile(r"<title[^>]*>(.*?)</title>", re.IGNORECASE | re.DOTALL)
 _RE_META1 = re.compile(r'<meta[^>]*name="description"[^>]*content="([^"]*)"', re.IGNORECASE)
 _RE_META2 = re.compile(r'<meta[^>]*content="([^"]*)"[^>]*name="description"', re.IGNORECASE)
@@ -131,15 +135,27 @@ def tokenize_simple(text: str) -> list[str]:
     return out
 
 
+# Per-token outcome memo for tokenize_filtered: raw token → surviving stem,
+# or None if the token is dropped (too short/long after stemming, or a
+# stopword). Zipf token distributions make the hit rate ≈1, so the steady
+# state is ONE dict probe per token instead of stem() (an lru_cache call:
+# arg hashing + wrapper frame) plus a length test plus a set probe. Keyed by
+# id(stopword set) with a strong reference held, so ids can never be reused;
+# cleared if it ever exceeds _FILTER_MEMO_MAX entries (bounds worker memory
+# on open web-scale vocabularies).
+_FILTER_MEMO: dict[int, tuple[frozenset[str] | set[str], dict[str, str | None]]] = {}
+_FILTER_MEMO_MAX = 1 << 21
+_MISS = object()  # memo-miss sentinel ('' and None are valid cached values)
+
+
 def tokenize_filtered(
     text: str, stopwords: frozenset[str] | set[str] = DEFAULT_STOPWORDS
 ) -> list[str]:
     """Fused ``filter_tokens(tokenize(text))`` — the index-build hot path.
 
-    One comprehension instead of three list passes (~25% faster per doc at
-    ~10⁸ tokens per 100k docs); raw len-1 tokens skip the stem call entirely
-    (their stems are identity and dropped by the post-stem length bound, so
-    output is token-identical — property-tested in tests/test_textproc.py).
+    Output-identical to the three-pass spec (property-tested in
+    tests/test_textproc.py); raw len-1 tokens skip the stem call entirely
+    (their stems are identity and dropped by the post-stem length bound).
     ``tokenize``/``filter_tokens`` stay the executable spec.
     """
     if not text:
@@ -147,15 +163,34 @@ def tokenize_filtered(
     text = text.lower()
     text = _RE_ENTITY.sub(" ", text)
     text = _RE_URL.sub(" ", text)
-    text = _RE_NONWORD.sub(" ", text)
-    text = text.replace("-", " ")
-    return [
-        s
-        for t in text.split()
-        if len(t) > 1
-        for s in (stem(t),)
-        if MIN_TOKEN_LENGTH <= len(s) <= MAX_TOKEN_LENGTH and s not in stopwords
-    ]
+    text = _RE_NONWORD_OR_HYPHEN.sub(" ", text)
+    entry = _FILTER_MEMO.get(id(stopwords))
+    if entry is None:
+        if len(_FILTER_MEMO) > 64:
+            _FILTER_MEMO.clear()
+        _FILTER_MEMO[id(stopwords)] = entry = (stopwords, {})
+    memo = entry[1]
+    if len(memo) > _FILTER_MEMO_MAX:
+        memo.clear()
+    out = []
+    append = out.append
+    get = memo.get
+    for t in text.split():
+        s = get(t, _MISS)
+        if s is _MISS:
+            if len(t) > 1:
+                s = stem(t)
+                if not (
+                    MIN_TOKEN_LENGTH <= len(s) <= MAX_TOKEN_LENGTH
+                    and s not in stopwords
+                ):
+                    s = None
+            else:
+                s = None
+            memo[t] = s
+        if s is not None:
+            append(s)
+    return out
 
 
 def filter_tokens(tokens: Iterable[str], stopwords: frozenset[str] | set[str] = DEFAULT_STOPWORDS) -> list[str]:
