@@ -72,7 +72,10 @@ def extract_text_from_html(html: str) -> str:
     are implemented with regexes; this is exact for the well-formed,
     non-nested HTML our corpus generator emits (block elements never nest
     within themselves, tags never split words). Entity decoding mirrors
-    bs4's parse-time unescaping.
+    bs4's parse-time unescaping, which happens BEFORE the reference's
+    ``clean_text`` tag-strip — so escaped markup (``&lt;b&gt;``) decodes to
+    literal tags that ``clean_text`` then removes; we replicate that order
+    (tag-strip after unescape) exactly.
     """
     text = _RE_COMMENT.sub(" ", html)
     # iterate: generator never nests same-name blocks, but be safe
@@ -81,7 +84,10 @@ def extract_text_from_html(html: str) -> str:
         prev = text
         text = _RE_DROP_BLOCKS.sub(" ", text)
     text = _RE_TAG.sub(" ", text)
+    # bs4 has already entity-decoded every text node by get_text() time;
+    # clean_text (tag-strip + ws-collapse) runs on the DECODED text.
     text = _htmllib.unescape(text)
+    text = _RE_TAG.sub(" ", text)
     return _RE_WS.sub(" ", text).strip()
 
 
@@ -142,8 +148,10 @@ def tokenize_simple(text: str) -> list[str]:
 # arg hashing + wrapper frame) plus a length test plus a set probe. Keyed by
 # id(stopword set) with a strong reference held, so ids can never be reused;
 # cleared if it ever exceeds _FILTER_MEMO_MAX entries (bounds worker memory
-# on open web-scale vocabularies).
-_FILTER_MEMO: dict[int, tuple[frozenset[str] | set[str], dict[str, str | None]]] = {}
+# on open web-scale vocabularies). Only FROZEN sets are memoized across
+# calls — a mutable set could be mutated between calls, which would make
+# cached outcomes stale; those get a fresh per-call memo instead.
+_FILTER_MEMO: dict[int, tuple[frozenset[str], dict[str, str | None]]] = {}
 _FILTER_MEMO_MAX = 1 << 21
 _MISS = object()  # memo-miss sentinel ('' and None are valid cached values)
 
@@ -164,14 +172,17 @@ def tokenize_filtered(
     text = _RE_ENTITY.sub(" ", text)
     text = _RE_URL.sub(" ", text)
     text = _RE_NONWORD_OR_HYPHEN.sub(" ", text)
-    entry = _FILTER_MEMO.get(id(stopwords))
-    if entry is None:
-        if len(_FILTER_MEMO) > 64:
-            _FILTER_MEMO.clear()
-        _FILTER_MEMO[id(stopwords)] = entry = (stopwords, {})
-    memo = entry[1]
-    if len(memo) > _FILTER_MEMO_MAX:
-        memo.clear()
+    if isinstance(stopwords, frozenset):
+        entry = _FILTER_MEMO.get(id(stopwords))
+        if entry is None:
+            if len(_FILTER_MEMO) > 64:
+                _FILTER_MEMO.clear()
+            _FILTER_MEMO[id(stopwords)] = entry = (stopwords, {})
+        memo = entry[1]
+        if len(memo) > _FILTER_MEMO_MAX:
+            memo.clear()
+    else:  # mutable set: memoize within this call only (no staleness)
+        memo = {}
     out = []
     append = out.append
     get = memo.get

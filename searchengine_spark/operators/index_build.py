@@ -377,10 +377,9 @@ def tokenize_extracted_documents(
                 tt = textproc.tokenize_filtered(title or "", stop)
                 mt = textproc.tokenize_filtered(meta or "", stop)
                 ct = textproc.tokenize_filtered(content or "", stop)
-                tf: dict[str, float] = {}
-                for toks, w in ((tt, TITLE_BOOST), (mt, META_BOOST), (ct, CONTENT_WEIGHT)):
-                    for tok in toks:
-                        tf[tok] = tf.get(tok, 0.0) + w
+                tf, n_toks = _tf_only(
+                    [(tt, TITLE_BOOST), (mt, META_BOOST), (ct, CONTENT_WEIGHT)]
+                )
                 rows.append(
                     (
                         doc_id,
@@ -389,7 +388,7 @@ def tokenize_extracted_documents(
                         meta or "",
                         textproc.make_snippet(content or ""),
                         list(tf.items()),
-                        len(tt) + len(mt) + len(ct),
+                        n_toks,
                         TITLE_BOOST * len(tt)
                         + META_BOOST * len(mt)
                         + CONTENT_WEIGHT * len(ct),

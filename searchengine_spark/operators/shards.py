@@ -221,7 +221,22 @@ def assign_docnos(spark: SparkSession, doc_ids: DataFrame, n_parts: int = 32) ->
             pos += len(pdf)
 
     out = ranged.mapInPandas(enumerate_partition, "doc_id string, docno long")
+    # The persisted ranged frame must outlive every action that reads the
+    # returned docnos (both index writes join them); carry it along so the
+    # builder can release the executor cache once its writes complete.
+    out._docno_source = ranged  # type: ignore[attr-defined]
     return out
+
+
+def release_docnos(df) -> None:
+    """Unpersist the ranged frame :func:`assign_docnos` cached, if any.
+
+    Call after the LAST action that consumes the docnos (or a plan derived
+    from them) — without this, every sharded build pins a full doc_id set
+    in MEMORY_AND_DISK for the application lifetime."""
+    ranged = getattr(df, "_docno_source", None)
+    if ranged is not None:
+        ranged.unpersist()
 
 
 @dataclass
@@ -307,7 +322,7 @@ def build_sharded_index(
         )
     )
 
-    return ShardedIndex(
+    index = ShardedIndex(
         blocks=blocks,
         docs=docs,
         term_stats=tables.term_stats,
@@ -317,6 +332,12 @@ def build_sharded_index(
         shard_size=shard_size,
         block_size=block_size,
     )
+    # blocks/docs are still LAZY plans over docnos — the cache assign_docnos
+    # made must live until they are materialized; write_sharded_index
+    # releases it after its writes (callers keeping the index purely
+    # in-memory can release_docnos(index) themselves once done).
+    index._docno_source = getattr(docnos, "_docno_source", None)  # type: ignore[attr-defined]
+    return index
 
 
 def build_and_write_sharded(
@@ -393,9 +414,9 @@ def shard_and_write_from_tokenized(
     n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
     shard_size = max(1, math.ceil(n_docs / n_shards))
 
-    docnos = assign_docnos(spark, tokenized.select("doc_id"))
+    docnos = docnos_src = assign_docnos(spark, tokenized.select("doc_id"))
     if n_docs <= 20_000_000:
-        docnos = F.broadcast(docnos)
+        docnos = F.broadcast(docnos)  # wraps a NEW frame: release via docnos_src
     tk = tokenized.join(docnos, "doc_id").withColumn(
         "shard", (F.col("docno") / shard_size).cast("int")
     )
@@ -456,6 +477,7 @@ def shard_and_write_from_tokenized(
         .parquet(f"{path}/term_stats")
     )
 
+    release_docnos(docnos_src)  # blocks+docs are written; the cache is dead weight
     with open(f"{path}/meta.json", "w") as f:
         json.dump(
             {
@@ -487,6 +509,7 @@ def write_sharded_index(index: ShardedIndex, path: str) -> None:
         .parquet(f"{path}/docs_sharded")
     )
     index.term_stats.write.mode("overwrite").parquet(f"{path}/term_stats")
+    release_docnos(index)  # everything derived from docnos is now on disk
     meta = {
         "n_docs": index.n_docs,
         "avgdl": index.avgdl,

@@ -24,7 +24,6 @@ from pyspark.sql import functions as F
 from searchengine_spark.config import DEFAULT_STOPWORDS, K1, B
 
 STOP = sorted(DEFAULT_STOPWORDS)
-_STOP_SQL = ", ".join(f"''{s}''" for s in STOP)  # doubled quotes: embedded in SQL below via format
 _STOP_IN = "(" + ", ".join(f"'{s}'" for s in STOP) + ")"
 
 # fixed probe terms present in the testdata vocabulary. NOTE: the testdata
@@ -915,12 +914,17 @@ def q_phrase_sharded(spark, sf_dir) -> DataFrame:
     index = shards.shard_and_write_from_tokenized(
         spark, tokenized, path, n_shards=8, with_positions=True
     )
+    # top_k=None: take ALL matches, then apply the oracle's exact ordering
+    # (phrase_tf desc, NUMERIC doc_id asc) before the limit — the engine's
+    # internal tie-break is docno (string-ordered doc_id), which could pick
+    # a different boundary set when phrase_tf ties straddle the cut.
     out = phrase_match_sharded(
-        spark, index, " ".join(PHRASE_TERMS), top_k=100, terms=PHRASE_TERMS
+        spark, index, " ".join(PHRASE_TERMS), top_k=None, terms=PHRASE_TERMS
     )
     return (
         out.select(F.col("doc_id").cast("long").alias("doc_id"), "phrase_tf")
         .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+        .limit(100)
     )
 
 

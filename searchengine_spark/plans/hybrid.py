@@ -26,8 +26,12 @@ and the FAISS embedding path (bert_embeddings.py:82-226) Spark-first:
   2·k candidates (``:184``), embeddings fetch k; ONLY the intersection
   (by doc) survives, scored ``0.7·bm25_norm + 0.3·sim`` with hard-coded
   weights (``:138-140`` — the config's hybrid_weight is ignored there,
-  replicated faithfully); sort desc, top-k. Empty embedding results fall
-  back to plain BM25 top-k (``:191-203``).
+  replicated faithfully); sort desc, top-k. An empty intersection yields an
+  EMPTY result — the reference does the same (``combine_results`` returns
+  ``[]``; its BM25-only fallback at ``:186-203`` triggers only when the
+  embedding index is *unavailable* or the BERT search raises, the analog of
+  which here is calling :class:`~searchengine_spark.plans.bm25.BM25SearchEngine`
+  directly).
 """
 
 from __future__ import annotations

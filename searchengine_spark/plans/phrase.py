@@ -38,6 +38,41 @@ from searchengine_spark.operators import codec
 
 PHRASE_RESULT_SCHEMA = "shard int, docno long, phrase_tf long"
 
+# The positional kernels pack (local_docno, position) into one signed int64
+# key as docno·2³² + pos. Positions are bounded < 2³² by the codec; the
+# local docno must stay below 2³¹ so the key never overflows the sign bit
+# (and window arithmetic like ``ka − window`` can't collide across docs).
+# At 10¹² docs this means n_shards ≥ 466 — enforced, not assumed.
+_MAX_SHARD_SIZE = 1 << 31
+
+
+def _check_shard_size(shard_size: int) -> None:
+    if shard_size > _MAX_SHARD_SIZE:
+        raise ValueError(
+            f"shard_size={shard_size} exceeds 2^31: positional kernels pack "
+            "local docno into the high bits of a signed int64 key — rebuild "
+            "the index with a larger n_shards so each doc-range shard covers "
+            "at most 2^31 docs"
+        )
+
+
+def _term_pos_keys(pdf: pd.DataFrame, t: str, base: np.int64, offset: int = 0) -> np.ndarray:
+    """Sorted ``(local_docno << 32) | (pos − offset)`` keys for one term's
+    (already term-filtered input) block rows; occurrences with
+    ``pos < offset`` are dropped. Shared by the phrase / proximity / window
+    kernels — one decode routine, one key layout."""
+    keys = []
+    for row in pdf[pdf["term"] == t].itertuples(index=False):
+        d, _tf, _dl = codec.decode_postings(row.gaps, row.tfs, row.dls)
+        counts, pos = codec.decode_positions(row.pcounts, row.pgaps)
+        docrep = np.repeat(d.astype(np.int64) - base, counts)
+        p = pos.astype(np.int64) - offset
+        if offset:
+            ok = p >= 0
+            docrep, p = docrep[ok], p[ok]
+        keys.append((docrep << np.int64(32)) | p)
+    return np.sort(np.concatenate(keys)) if keys else np.empty(0, dtype=np.int64)
+
 
 def analyze_phrase(phrase: str, stopwords: frozenset[str] = DEFAULT_STOPWORDS) -> list[str]:
     """Phrase text → ordered term list via the full reference tokenizer
@@ -50,7 +85,7 @@ def analyze_phrase(phrase: str, stopwords: frozenset[str] = DEFAULT_STOPWORDS) -
 def _phrase_kernel_factory(terms: list[str], shard_size: int):
     """Per-shard kernel: positional block rows (already filtered to the
     phrase terms) → (shard, docno, phrase_tf) rows."""
-    n_terms = len(terms)
+    _check_shard_size(shard_size)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -66,20 +101,11 @@ def _phrase_kernel_factory(terms: list[str], shard_size: int):
         base = np.int64(shard) * np.int64(shard_size)
         keys: np.ndarray | None = None
         for i, t in enumerate(terms):
-            sub = pdf[pdf["term"] == t]
-            if len(sub) == 0:
+            tk = _term_pos_keys(pdf, t, base, offset=i)
+            if tk.size == 0:
                 return empty
-            term_keys = []
-            for row in sub.itertuples(index=False):
-                d, _tf, _dl = codec.decode_postings(row.gaps, row.tfs, row.dls)
-                counts, pos = codec.decode_positions(row.pcounts, row.pgaps)
-                docrep = np.repeat(d.astype(np.int64) - base, counts)
-                p = pos.astype(np.int64) - i
-                ok = p >= 0
-                term_keys.append((docrep[ok] << np.int64(32)) | p[ok])
-            tk = np.concatenate(term_keys) if term_keys else np.empty(0, dtype=np.int64)
             if keys is None:
-                keys = np.sort(tk)
+                keys = tk
             else:
                 keys = np.intersect1d(keys, tk, assume_unique=True)
             if keys.size == 0:
@@ -101,7 +127,7 @@ def phrase_match_sharded(
     spark: SparkSession,
     index,
     phrase: str,
-    top_k: int = 50,
+    top_k: int | None = 50,
     terms: list[str] | None = None,
 ) -> DataFrame:
     """Exact phrase query over a positional :class:`ShardedIndex`.
@@ -111,6 +137,11 @@ def phrase_match_sharded(
     scan is pruned to the phrase terms (IN-list over term-sorted parquet);
     each shard resolves its own matches locally (doc-range sharding), so
     the only shuffle is the per-shard regroup of the pruned block rows.
+
+    ``top_k=None`` returns ALL matching docs (no limit) — used when the
+    caller needs a different tie-break than docno order (e.g. the driver
+    contract orders by numeric doc_id); only safe when the match set is
+    known to be broadcast-small.
     """
     if not index.with_positions:
         raise ValueError("phrase_match_sharded requires a positional index "
@@ -130,7 +161,9 @@ def phrase_match_sharded(
     # top-k BEFORE the docs join: the ranked match set is ≤ top_k rows, so
     # the metadata join is a broadcast hash join — the big docs table is
     # never shuffled (scan-only), which is what survives at 10^12 docs.
-    topk = matches.orderBy(F.desc("phrase_tf"), F.asc("docno")).limit(top_k)
+    topk = matches.orderBy(F.desc("phrase_tf"), F.asc("docno"))
+    if top_k is not None:
+        topk = topk.limit(top_k)
     return (
         index.docs.join(F.broadcast(topk), ["shard", "docno"])
         .select("doc_id", "url", "content_snippet", "phrase_tf")
@@ -247,17 +280,7 @@ def _proximity_kernel_factory(
     < 2³²), so the within-window test for EVERY doc at once is two
     ``np.searchsorted`` calls — windows cannot cross docs because doc keys
     differ in the high 32 bits by ≥ 2³² > window."""
-
-    def decode_term(pdf: pd.DataFrame, t: str, base: np.int64) -> np.ndarray:
-        keys = []
-        for row in pdf[pdf["term"] == t].itertuples(index=False):
-            d, _tf, _dl = codec.decode_postings(row.gaps, row.tfs, row.dls)
-            counts, pos = codec.decode_positions(row.pcounts, row.pgaps)
-            docrep = np.repeat(d.astype(np.int64) - base, counts)
-            keys.append((docrep << np.int64(32)) | pos.astype(np.int64))
-        return (
-            np.sort(np.concatenate(keys)) if keys else np.empty(0, dtype=np.int64)
-        )
+    _check_shard_size(shard_size)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -271,8 +294,8 @@ def _proximity_kernel_factory(
             return empty
         shard = int(pdf["shard"].iloc[0])
         base = np.int64(shard) * np.int64(shard_size)
-        ka = decode_term(pdf, term_a, base)
-        kb = decode_term(pdf, term_b, base)
+        ka = _term_pos_keys(pdf, term_a, base)
+        kb = _term_pos_keys(pdf, term_b, base)
         if ka.size == 0 or kb.size == 0:
             return empty
         # b-positions within the key window: a key window never reaches a
@@ -358,16 +381,8 @@ def _window_kernel_factory(terms: list[str], window: int, shard_size: int):
     ``np.searchsorted`` bound arrays over the shared 64-bit key space
     (local_docno·2³² + pos) — n−1 vectorized membership tests, no
     per-document loop."""
+    _check_shard_size(shard_size)
     others = [t for t in dict.fromkeys(terms[1:]) if t != terms[0]]
-
-    def decode_term(pdf: pd.DataFrame, t: str, base: np.int64) -> np.ndarray:
-        keys = []
-        for row in pdf[pdf["term"] == t].itertuples(index=False):
-            d, _tf, _dl = codec.decode_postings(row.gaps, row.tfs, row.dls)
-            counts, pos = codec.decode_positions(row.pcounts, row.pgaps)
-            docrep = np.repeat(d.astype(np.int64) - base, counts)
-            keys.append((docrep << np.int64(32)) | pos.astype(np.int64))
-        return np.sort(np.concatenate(keys)) if keys else np.empty(0, dtype=np.int64)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -381,12 +396,12 @@ def _window_kernel_factory(terms: list[str], window: int, shard_size: int):
             return empty
         shard = int(pdf["shard"].iloc[0])
         base = np.int64(shard) * np.int64(shard_size)
-        ka = decode_term(pdf, terms[0], base)
+        ka = _term_pos_keys(pdf, terms[0], base)
         if ka.size == 0:
             return empty
         ok = np.ones(ka.size, dtype=bool)
         for t in others:
-            kb = decode_term(pdf, t, base)
+            kb = _term_pos_keys(pdf, t, base)
             if kb.size == 0:
                 return empty
             lo = np.searchsorted(kb, ka - window, side="left")

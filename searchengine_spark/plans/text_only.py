@@ -9,7 +9,7 @@ first 200 chars of text (indexer.py:141).
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -27,6 +27,45 @@ from searchengine_spark.operators.index_build import (
 )
 
 
+def _tokenize_with(
+    documents: DataFrame,
+    tokenizer: Callable[[str], list[str]],
+    with_positions: bool,
+) -> DataFrame:
+    """Shared stage-1 body for the text-only adapters: one row shape, one
+    positions branch — only the tokenizer differs between the stemmed and
+    the SQL-expressible variants."""
+    schema = TOKENIZED_POS_SCHEMA if with_positions else TOKENIZED_SCHEMA
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                content = text or ""
+                ct = tokenizer(content)
+                if with_positions:
+                    tf, pos, n = _tf_and_positions([(ct, 1.0)])
+                    terms_col = _pos_terms_col(tf, pos)
+                else:
+                    tf, n = _tf_only([(ct, 1.0)])
+                    terms_col = list(tf.items())
+                rows.append(
+                    (
+                        str(doc_id),
+                        f"doc://{doc_id}",
+                        "",
+                        "",
+                        textproc.make_snippet(content),
+                        terms_col,
+                        n,
+                        float(n),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return documents.mapInPandas(process, schema)
+
+
 def tokenize_text_documents(
     documents: DataFrame,
     stopwords: frozenset[str] = DEFAULT_STOPWORDS,
@@ -38,35 +77,9 @@ def tokenize_text_documents(
     (term, tf, positions) — positions index the filtered content token
     stream — for the positional index layout (operators/shards.py)."""
     stop = stopwords
-    schema = TOKENIZED_POS_SCHEMA if with_positions else TOKENIZED_SCHEMA
-
-    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                content = text or ""
-                ct = textproc.tokenize_filtered(content, stop)
-                if with_positions:
-                    tf, pos, n = _tf_and_positions([(ct, 1.0)])
-                    terms_col = _pos_terms_col(tf, pos)
-                else:
-                    tf, n = _tf_only([(ct, 1.0)])
-                    terms_col = list(tf.items())
-                rows.append(
-                    (
-                        str(doc_id),
-                        f"doc://{doc_id}",
-                        "",
-                        "",
-                        textproc.make_snippet(content),
-                        terms_col,
-                        n,
-                        float(n),
-                    )
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
-
-    return documents.mapInPandas(process, schema)
+    return _tokenize_with(
+        documents, lambda text: textproc.tokenize_filtered(text, stop), with_positions
+    )
 
 
 def tokenize_text_documents_simple(
@@ -75,35 +88,7 @@ def tokenize_text_documents_simple(
     """Like :func:`tokenize_text_documents` but with the SQL-expressible
     simple tokenizer (textproc.tokenize_simple — no stemming), so results
     over the produced index are DuckDB-checkable (plans/entry_queries.py)."""
-    schema = TOKENIZED_POS_SCHEMA if with_positions else TOKENIZED_SCHEMA
-
-    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                content = text or ""
-                ct = textproc.tokenize_simple(content)
-                if with_positions:
-                    tf, pos, n = _tf_and_positions([(ct, 1.0)])
-                    terms_col = _pos_terms_col(tf, pos)
-                else:
-                    tf, n = _tf_only([(ct, 1.0)])
-                    terms_col = list(tf.items())
-                rows.append(
-                    (
-                        str(doc_id),
-                        f"doc://{doc_id}",
-                        "",
-                        "",
-                        textproc.make_snippet(content),
-                        terms_col,
-                        n,
-                        float(n),
-                    )
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
-
-    return documents.mapInPandas(process, schema)
+    return _tokenize_with(documents, textproc.tokenize_simple, with_positions)
 
 
 def build_text_only_index(spark: SparkSession, documents: DataFrame) -> IndexTables:
