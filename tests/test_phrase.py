@@ -464,3 +464,21 @@ def test_phrase_batch_equals_individual(spark, pos_index, streams):
             ).collect()
         }
         assert got.get(qid, {}) == want, (qid, text)
+
+
+def test_positional_kernels_reject_oversized_shard():
+    """local docno packs into the high 32 bits of a signed int64 key —
+    shard_size beyond 2^31 must fail loudly, not corrupt results."""
+    import pytest
+
+    from searchengine_spark.plans import phrase as ph
+
+    for factory in (
+        lambda: ph._phrase_kernel_factory(["a", "b"], (1 << 31) + 1),
+        lambda: ph._proximity_kernel_factory("a", "b", 5, (1 << 31) + 1),
+        lambda: ph._window_kernel_factory(["a", "b"], 5, (1 << 31) + 1),
+    ):
+        with pytest.raises(ValueError, match="2\\^31"):
+            factory()
+    # the boundary itself is fine
+    ph._phrase_kernel_factory(["a", "b"], 1 << 31)

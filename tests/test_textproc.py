@@ -132,3 +132,28 @@ def test_tokenize_filtered_equals_composition():
         "running the runner runs", "x" * 21, "a-b-c d--e", "Café — cafés",
     ):
         assert tokenize_filtered(s) == filter_tokens(tokenize(s))
+
+
+def test_extract_text_escaped_markup_stripped_like_bs4():
+    """bs4 entity-decodes at parse time, so the reference's clean_text tag
+    regex runs on DECODED text: escaped markup must vanish, and a decoded
+    '< ... >' span is stripped too (reference behavior — code is the spec)."""
+    assert (
+        textproc.extract_text_from_html("<p>&lt;b&gt;bold&lt;/b&gt; word</p>")
+        == "bold word"
+    )
+    # decoded inequality forms a pseudo-tag that clean_text also eats
+    assert (
+        textproc.extract_text_from_html("<p>a &lt; b and c &gt; d</p>") == "a d"
+    )
+
+
+def test_tokenize_filtered_mutable_stopword_set_not_stale():
+    """A mutable stopword set mutated between calls must take effect —
+    the cross-call memo only applies to frozensets."""
+    s = {"the"}
+    assert textproc.tokenize_filtered("the cat runs", s) == ["cat", "run"]
+    s.add("cat")
+    assert textproc.tokenize_filtered("the cat runs", s) == ["run"]
+    s.discard("cat")
+    assert textproc.tokenize_filtered("the cat runs", s) == ["cat", "run"]
