@@ -522,7 +522,7 @@ scored AS (
               THEN 'en' ELSE 'other' END AS pred
   FROM raw)
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS n_pred_en
+       CAST(SUM(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en
 FROM scored GROUP BY lang"""
 
 

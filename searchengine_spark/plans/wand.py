@@ -1,30 +1,48 @@
-"""Block-max WAND exact top-k over the sharded compressed index.
+"""Block-max WAND exact top-k over the sharded compressed index — two-phase.
 
 The scale path for ``SearchIndexer.search`` (indexer.py:280-342): instead of
 scoring every posting of every query term (the exhaustive Catalyst plan in
 plans/bm25.py), each *document shard* prunes whole posting **blocks** whose
 score upper bound cannot reach the running top-k threshold, decodes and
-scores only the survivors, and emits its local top-k; the global answer is
-the merge of per-shard top-k's (exact, because every posting of a doc lives
-in exactly one shard — see operators/shards.py).
+scores only the survivors, and emits a small per-shard candidate set; the
+global answer is exact because every posting of a doc lives in exactly one
+shard (operators/shards.py).
+
+**Two phases** (the metadata-light design): phase 1 is a numpy kernel over
+the posting blocks ONLY — it never sees doc metadata, so the per-batch
+exchange carries just ``(query_id, shard, docno, raw_score)`` for the
+candidates, never the ~350 B/doc metadata of the corpus. Phase 2 joins
+``index.docs`` against the **broadcast** candidate set (thousands of rows)
+to fetch metadata for survivors only, applies the exact shared boost chain
+(plans/bm25.py:boost_chain_expr — the same Catalyst expression the
+exhaustive engine runs), then per-query normalize / top-k / threshold.
+At 10^12 docs the docs side is a map-side broadcast-hash-join probe — no
+shuffle of doc metadata ever happens (asserted in tests/test_explain_plans).
 
 Exactness argument (property-tested against the exhaustive engine):
 
 * block upper bound: ``UB(b of term t) = w_t·max_partial(b) +
   Σ_{t'≠t} max(w_{t'}·max_partial(b') : b' of t' overlaps b's docno range)``
-  — any doc in b scores ≤ UB(b) raw;
+  — any doc in b raw-scores ≤ UB(b);
 * the reference multiplies BM25 by a bounded boost chain
   (indexer.py:405-441): ``MAX_BOOST = max(1.8,1.5,1.3)·(1+2)·(1+1)·1.25``,
-  so boosted(d) ≤ UB(b)·MAX_BOOST for d ∈ b;
-* θ is seeded by exactly scoring (boosts included) the docs of the single
-  highest-UB block, so θ ≤ true kth-best boosted score;
+  so ``raw(d) ≤ boosted(d) ≤ raw(d)·MAX_BOOST``;
+* θ is seeded with the kth-best **raw** score of the docs in the single
+  highest-UB block; since boosted ≥ raw, θ ≤ true kth-best boosted score;
 * a block is dropped iff ``UB·MAX_BOOST < θ`` ⇒ every doc in it is provably
   outside the top-k, and those docnos are *killed* (their partial sums in
-  surviving blocks are discarded) so no doc is ever returned with an
-  incomplete score.
+  surviving blocks are discarded) so no doc ever leaves phase 1 with an
+  incomplete raw score;
+* candidate emission: a shard with more than k scored docs emits only those
+  with ``raw·MAX_BOOST ≥ θ_k`` where θ_k is the shard's kth-largest raw —
+  a dropped d has boosted(d) ≤ raw(d)·MAX_BOOST < θ_k ≤ (kth-largest
+  boosted in the shard), so ≥ k shard-mates strictly beat it and it cannot
+  be in the global top-k. With real (Zipf) score distributions the margin
+  set is a small multiple of k; degenerate all-equal-score corpora fall
+  back to emitting the shard's full match set, which is still exact.
 
-Everything inside the kernel is numpy/pandas over Arrow batches (cogrouped
-``applyInPandas`` by shard); decode is the vectorized varint codec. The
+Everything inside the kernel is numpy/pandas over Arrow batches
+(``applyInPandas`` by shard); decode is the vectorized varint codec. The
 driver-side work is only query analysis + the tiny per-term idf collect.
 """
 
@@ -49,7 +67,7 @@ from searchengine_spark.config import (
     TITLE_PHRASE_BOOST,
 )
 from searchengine_spark.operators import codec
-from searchengine_spark.plans.bm25 import analyze_query
+from searchengine_spark.plans.bm25 import analyze_query, boost_chain_expr
 
 MAX_BOOST = (
     max(TITLE_PHRASE_BOOST, DESC_PHRASE_BOOST, SNIPPET_PHRASE_BOOST, 1.0)
@@ -58,48 +76,8 @@ MAX_BOOST = (
     * PROXIMITY_BOOST
 )
 
-_OUT_SCHEMA = (
-    "query_id int, doc_id string, url string, title string, description string, "
-    "content_snippet string, score double"
-)
-
-
-def _boost(
-    raw: np.ndarray,
-    title_l: pd.Series,
-    desc_l: pd.Series,
-    snip_l: pd.Series,
-    original_query: str,
-    orig_tokens: list[str],
-) -> np.ndarray:
-    """Vectorized boost chain (indexer.py:405-441), identical to the
-    Catalyst expressions in plans/bm25.py."""
-    score = raw.copy()
-    in_t = title_l.str.contains(original_query, regex=False).to_numpy()
-    in_d = desc_l.str.contains(original_query, regex=False).to_numpy()
-    in_s = snip_l.str.contains(original_query, regex=False).to_numpy()
-    phrase = np.where(
-        in_t,
-        TITLE_PHRASE_BOOST,
-        np.where(in_d, DESC_PHRASE_BOOST, np.where(in_s, SNIPPET_PHRASE_BOOST, 1.0)),
-    )
-    score *= phrase
-    n_orig = len(orig_tokens)
-    if n_orig > 0:
-        t_hits = np.zeros(len(raw))
-        d_hits = np.zeros(len(raw))
-        s_all = np.ones(len(raw), dtype=bool)
-        for tok in orig_tokens:
-            t_hits += title_l.str.contains(tok, regex=False).to_numpy()
-            d_hits += desc_l.str.contains(tok, regex=False).to_numpy()
-            s_all &= snip_l.str.contains(tok, regex=False).to_numpy()
-        t_pct = t_hits / n_orig
-        d_pct = d_hits / n_orig
-        score *= np.where(t_pct > 0, 1.0 + t_pct * TITLE_MATCH_BOOST, 1.0)
-        score *= np.where(d_pct > 0, 1.0 + d_pct * DESC_MATCH_BOOST, 1.0)
-        if n_orig > 1:
-            score *= np.where(s_all, PROXIMITY_BOOST, 1.0)
-    return score
+# phase-1 kernel output: per-shard candidate docnos with exact raw BM25
+_CAND_SCHEMA = "query_id int, shard int, docno long, raw double"
 
 
 class WandSearchEngine:
@@ -157,20 +135,11 @@ class WandSearchEngine:
         avgdl = self.avgdl  # plain float local: the kernel closure must not
         # capture self (it holds the SparkSession, which cannot ship to workers)
 
-        def kernel(blocks_pdf: pd.DataFrame, docs_pdf: pd.DataFrame) -> pd.DataFrame:
-            if len(blocks_pdf) == 0 or len(docs_pdf) == 0:
-                return pd.DataFrame(
-                    columns=[
-                        "query_id", "doc_id", "url", "title", "description",
-                        "content_snippet", "score",
-                    ]
-                )
+        def kernel(blocks_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(blocks_pdf) == 0:
+                return pd.DataFrame(columns=["query_id", "shard", "docno", "raw"])
             blocks_pdf = blocks_pdf.reset_index(drop=True)
-            docs_pdf = docs_pdf.sort_values("docno").reset_index(drop=True)
-            shard_docnos = docs_pdf["docno"].to_numpy(dtype=np.int64)
-            title_l = docs_pdf["title"].fillna("").str.lower()
-            desc_l = docs_pdf["description"].fillna("").str.lower()
-            snip_l = docs_pdf["content_snippet"].fillna("").str.lower()
+            shard = int(blocks_pdf["shard"].iloc[0])
             decode_cache: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
 
             def decoded(i: int):
@@ -183,7 +152,7 @@ class WandSearchEngine:
             by_term = {t: g for t, g in blocks_pdf.groupby("term")}
             out_rows = []
 
-            for qid, weights, orig_tokens, original_query in qinfo:
+            for qid, weights, _orig_tokens, _original_query in qinfo:
                 terms = [t for t in weights if t in by_term]
                 if not terms:
                     continue
@@ -254,20 +223,10 @@ class WandSearchEngine:
                     sums = np.add.reduceat(ss, starts)
                     return uniq, sums
 
-                def boosted_scores(docnos_u, raw):
-                    pos = np.searchsorted(shard_docnos, docnos_u)
-                    return _boost(
-                        raw,
-                        title_l.iloc[pos],
-                        desc_l.iloc[pos],
-                        snip_l.iloc[pos],
-                        original_query,
-                        orig_tokens,
-                    ), pos
-
                 theta = 0.0
                 if prune and len(ubs_a) > 1:
-                    # seed θ: exactly score the docs of the top-UB block
+                    # seed θ: exact RAW scores of the top-UB block's docs
+                    # (raw ≤ boosted, so θ lower-bounds the kth-best boosted)
                     b_star = int(np.argmax(ub_full))
                     lo, hi = mins_a[b_star], maxs_a[b_star]
                     overlapping = [
@@ -277,10 +236,8 @@ class WandSearchEngine:
                     ]
                     seed_docnos = decoded(int(row_pos[b_star]))[0]
                     du, su = score_docnos(overlapping, restrict=seed_docnos)
-                    if du.size:
-                        bs, _ = boosted_scores(du, su)
-                        if bs.size >= k:
-                            theta = float(np.partition(bs, -k)[-k])
+                    if su.size >= k:
+                        theta = float(np.partition(su, -k)[-k])
 
                 kept = np.flatnonzero(ub_full * MAX_BOOST >= theta) if theta > 0 else np.arange(len(ubs_a))
                 dropped = np.setdiff1d(np.arange(len(ubs_a)), kept)
@@ -296,33 +253,24 @@ class WandSearchEngine:
                 du, su = score_docnos(kept, killed=killed)
                 if du.size == 0:
                     continue
-                bs, pos = boosted_scores(du, su)
-                # local top-k, tie-break doc_id asc (matches the oracle)
-                doc_ids = docs_pdf["doc_id"].iloc[pos].to_numpy()
-                order = np.lexsort((doc_ids, -bs))[:k]
-                sel = pos[order]
+                # candidate emission: only docs within MAX_BOOST of the
+                # shard's kth-largest raw can reach the shard top-k boosted
+                if su.size > k:
+                    theta_k = float(np.partition(su, -k)[-k])
+                    keep = su * MAX_BOOST >= theta_k
+                    du, su = du[keep], su[keep]
                 out_rows.append(
                     pd.DataFrame(
                         {
-                            "query_id": qid,
-                            "doc_id": docs_pdf["doc_id"].iloc[sel].to_numpy(),
-                            "url": docs_pdf["url"].iloc[sel].to_numpy(),
-                            "title": docs_pdf["title"].iloc[sel].to_numpy(),
-                            "description": docs_pdf["description"].iloc[sel].to_numpy(),
-                            "content_snippet": docs_pdf["content_snippet"]
-                            .iloc[sel]
-                            .to_numpy(),
-                            "score": bs[order],
+                            "query_id": np.full(du.size, qid, dtype=np.int32),
+                            "shard": np.full(du.size, shard, dtype=np.int32),
+                            "docno": du,
+                            "raw": su,
                         }
                     )
                 )
             if not out_rows:
-                return pd.DataFrame(
-                    columns=[
-                        "query_id", "doc_id", "url", "title", "description",
-                        "content_snippet", "score",
-                    ]
-                )
+                return pd.DataFrame(columns=["query_id", "shard", "docno", "raw"])
             return pd.concat(out_rows, ignore_index=True)
 
         # term IN-list prunes the blocks scan (row-group stats on term);
@@ -333,24 +281,36 @@ class WandSearchEngine:
         blocks = self.index.blocks.select(*_BLOCK_COLS).filter(
             F.col("term").isin(term_list)
         )
-        # prune the docs side of the cogroup to what the kernel reads
-        # (docs_sharded also carries doc_len for layout export — BM25
-        # scoring gets doc_len from the blocks, not from here)
+        candidates = blocks.groupby("shard").applyInPandas(kernel, _CAND_SCHEMA)
+
+        # ---- phase 2: metadata for SURVIVORS only ------------------------
+        # broadcast the tiny candidate set against the docs store: a map-side
+        # hash-join probe of docs_sharded (no exchange of doc metadata; the
+        # (shard, docno) key hits the sorted row-group layout), then the exact
+        # shared boost chain, per-query max-normalize (Q6), threshold (F12),
+        # top-k (Q7).
+        qmeta = self.spark.createDataFrame(
+            [(qid, oq, toks) for qid, _, toks, oq in qinfo],
+            "query_id int, original_query string, orig_tokens array<string>",
+        )
         docs_side = self.index.docs.select(
             "shard", "docno", "doc_id", "url", "title", "description",
             "content_snippet",
         )
-        local_tops = (
-            blocks.groupby("shard")
-            .cogroup(docs_side.groupby("shard"))
-            .applyInPandas(lambda left, right: kernel(left, right), _OUT_SCHEMA)
+        joined = (
+            docs_side.join(F.broadcast(candidates), ["shard", "docno"])
+            .join(F.broadcast(qmeta), "query_id")
+            .withColumn("score", F.col("raw"))
+        )
+        boosted = joined.select(
+            "query_id", "doc_id", "url", "title", "description",
+            "content_snippet", boost_chain_expr().alias("score"),
         )
 
-        # global merge: per-query max-normalize (Q6), threshold (F12), top-k (Q7)
         w = Window.partitionBy("query_id")
         rank_w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         out = (
-            local_tops.withColumn(
+            boosted.withColumn(
                 "score",
                 F.when(
                     F.max("score").over(w) > 0, F.col("score") / F.max("score").over(w)

@@ -91,6 +91,34 @@ def test_wand_prunes_positional_streams(spark, tmp_path_factory):
     assert "pcounts" not in plan and "pgaps" not in plan, plan
 
 
+def test_wand_docs_metadata_never_shuffled(spark, tmp_path_factory):
+    """Two-phase WAND: phase 1 cogroups NOTHING (blocks-only kernel — no
+    FlatMapCoGroupsInPandas), and doc metadata reaches the plan only through
+    a broadcast-hash-join probe of the candidate set — docs_sharded is never
+    exchanged. This is the 100 TB property: a query batch moves candidate
+    rows (~k·shards) and never the ~350 B/doc corpus metadata."""
+    from searchengine_spark.operators import shards
+    from searchengine_spark.plans.wand import WandSearchEngine
+
+    path = str(tmp_path_factory.mktemp("wand2ph"))
+    pages = spark.createDataFrame(webgen.generate_pandas(N_DOCS))
+    index = shards.build_and_write_sharded(spark, pages, path, n_shards=2)
+    qterms = [r["term"] for r in index.term_stats.orderBy("df").limit(2).collect()]
+    res = WandSearchEngine(spark, index).search_batch(
+        [(0, " ".join(qterms))], top_k=5
+    )
+    assert res is not None
+    plan = _plan(res)
+    assert "FlatMapCoGroupsInPandas" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the docs scan side must not feed any shuffle exchange: every Exchange
+    # in the plan sits above the (tiny) candidate/window stages, so no
+    # Exchange operator may list the docs metadata columns
+    for line in plan.splitlines():
+        if "Exchange" in line and "hashpartitioning" in line:
+            assert "title" not in line and "content_snippet" not in line, line
+
+
 def test_phrase_docs_join_is_broadcast(spark, tmp_path_factory):
     """Doc-metadata lookup for phrase results must broadcast the ranked
     top-k side — the docs table is never shuffled."""
