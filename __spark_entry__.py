@@ -54,6 +54,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from searchengine_spark.plans.entry_queries import ORACLE_SQL
+    from searchengine_spark.plans.entry_queries import (
+        ORACLE_SQL,
+        STEMMED_ORACLE_SF_DIR,
+        materialize_stemmed_oracle_table,
+    )
 
-    return dict(ORACLE_SQL)
+    out = dict(ORACLE_SQL)
+    # The stemmed-path oracle reads a parquet of Porter-stemmed token arrays
+    # produced driver-side with the engine's own pure functions; build it
+    # now so the SQL is runnable regardless of query/oracle execution order.
+    try:
+        materialize_stemmed_oracle_table(STEMMED_ORACLE_SF_DIR)
+    except Exception:  # testdata missing: degrade to rows-only, don't break
+        out.pop("bm25_stemmed_topk", None)
+        out.pop("wand_stemmed_topk", None)
+    return out

@@ -146,13 +146,19 @@ def tokenize_simple(text: str) -> list[str]:
 # stopword). Zipf token distributions make the hit rate ≈1, so the steady
 # state is ONE dict probe per token instead of stem() (an lru_cache call:
 # arg hashing + wrapper frame) plus a length test plus a set probe. Keyed by
-# id(stopword set) with a strong reference held, so ids can never be reused;
-# cleared if it ever exceeds _FILTER_MEMO_MAX entries (bounds worker memory
-# on open web-scale vocabularies). Only FROZEN sets are memoized across
-# calls — a mutable set could be mutated between calls, which would make
-# cached outcomes stale; those get a fresh per-call memo instead.
+# id(stopword set) with a strong reference held, so ids can never be reused.
+# Memory bounds are tiered: the hot DEFAULT_STOPWORDS memo gets the large
+# cap and is NEVER evicted by other sets' pressure; each non-default set
+# gets a much smaller per-memo cap, and when the set count overflows only
+# the non-default memos are dropped — an overflow can no longer wipe the
+# default memo, and only the offending memo is ever cleared for size.
+# Worst case resident: _FILTER_MEMO_MAX + 64·_FILTER_MEMO_SET_MAX entries
+# per worker process. Only FROZEN sets are memoized across calls — a
+# mutable set could be mutated between calls, which would make cached
+# outcomes stale; those get a fresh per-call memo instead.
 _FILTER_MEMO: dict[int, tuple[frozenset[str], dict[str, str | None]]] = {}
-_FILTER_MEMO_MAX = 1 << 21
+_FILTER_MEMO_MAX = 1 << 21  # default-stopwords memo (the index-build path)
+_FILTER_MEMO_SET_MAX = 1 << 15  # each non-default stopword set
 _MISS = object()  # memo-miss sentinel ('' and None are valid cached values)
 
 
@@ -176,10 +182,17 @@ def tokenize_filtered(
         entry = _FILTER_MEMO.get(id(stopwords))
         if entry is None:
             if len(_FILTER_MEMO) > 64:
-                _FILTER_MEMO.clear()
+                for k, (s, _) in list(_FILTER_MEMO.items()):
+                    if s is not DEFAULT_STOPWORDS:
+                        del _FILTER_MEMO[k]
             _FILTER_MEMO[id(stopwords)] = entry = (stopwords, {})
         memo = entry[1]
-        if len(memo) > _FILTER_MEMO_MAX:
+        cap = (
+            _FILTER_MEMO_MAX
+            if stopwords is DEFAULT_STOPWORDS
+            else _FILTER_MEMO_SET_MAX
+        )
+        if len(memo) > cap:
             memo.clear()
     else:  # mutable set: memoize within this call only (no staleness)
         memo = {}

@@ -49,9 +49,35 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from searchengine_spark.config import B, K1
+from searchengine_spark.config import (
+    B,
+    CONTENT_WEIGHT,
+    K1,
+    META_BOOST,
+    TITLE_BOOST,
+)
 from searchengine_spark.operators import codec
 from searchengine_spark.operators.index_build import IndexTables
+
+
+def _assert_integral_boosts() -> None:
+    """The compressed layout narrows tf/doc_len to int32 for the posting
+    shuffle. tf is a sum of (field boost × occurrence count) and doc_len a
+    boost-weighted token total, so both are integral iff every field boost
+    is — validate HERE, before the cast, so a fractional boost config fails
+    loudly instead of silently truncating (the reference allows arbitrary
+    float boosts; this layout intentionally does not)."""
+    for name, val in (
+        ("TITLE_BOOST", TITLE_BOOST),
+        ("META_BOOST", META_BOOST),
+        ("CONTENT_WEIGHT", CONTENT_WEIGHT),
+    ):
+        if float(val) != int(val):
+            raise ValueError(
+                f"compressed sharded layout requires integral field boosts; "
+                f"{name}={val} would silently truncate tf in the int32 cast "
+                f"(use the logical index layout for fractional boosts)"
+            )
 
 BLOCK_SCHEMA = (
     "shard int, term string, block_no int, n int, min_docno long, max_docno long, "
@@ -277,13 +303,18 @@ def build_sharded_index(
     if shard_size is None:
         shard_size = max(1, math.ceil(n_docs / n_shards))
 
+    owns_docnos = docnos is None
     if docnos is None:
         docnos = assign_docnos(spark, tables.doc_stats.select("doc_id"))
 
-    # tf/doc_len are integral by construction (integer field weights ×
-    # counts; the encode kernel asserts this) — ship them through the
-    # posting shuffle as int32, not double: 8 fewer bytes on every one of
-    # the ~177 posting rows per doc, the build's single big exchange.
+    # tf/doc_len are integral under integral field boosts (validated above
+    # the cast by _assert_integral_boosts; the kernel's own integrality
+    # check cannot fire on this path because the cast truncates first) —
+    # ship them through the posting shuffle as int32, not double: 8 fewer
+    # bytes on every one of the ~177 posting rows per doc, the build's
+    # single big exchange. int32 doc_len bounds a single doc at 2^31
+    # weighted tokens (~8 GiB of text), far beyond any real page.
+    _assert_integral_boosts()
     with_no = tables.postings.join(docnos, "doc_id").select(
         (F.col("docno") / shard_size).cast("int").alias("shard"),
         "term",
@@ -333,10 +364,13 @@ def build_sharded_index(
         block_size=block_size,
     )
     # blocks/docs are still LAZY plans over docnos — the cache assign_docnos
-    # made must live until they are materialized; write_sharded_index
-    # releases it after its writes (callers keeping the index purely
-    # in-memory can release_docnos(index) themselves once done).
-    index._docno_source = getattr(docnos, "_docno_source", None)  # type: ignore[attr-defined]
+    # made must live until they are materialized. Ownership: only a docnos
+    # frame THIS call created is auto-released by write_sharded_index; a
+    # caller-supplied docnos (the segment/merge pattern — other segment
+    # plans may share it) stays the caller's to release.
+    index._docno_source = (  # type: ignore[attr-defined]
+        getattr(docnos, "_docno_source", None) if owns_docnos else None
+    )
     return index
 
 
@@ -421,8 +455,10 @@ def shard_and_write_from_tokenized(
         "shard", (F.col("docno") / shard_size).cast("int")
     )
 
-    # int32 tf/doc_len through the build's single big shuffle (integral by
-    # construction; the encode kernel asserts it and re-widens to float64)
+    # int32 tf/doc_len through the build's single big shuffle (integral
+    # under integral field boosts — validated before the cast, which would
+    # otherwise truncate silently; the kernel re-widens to float64)
+    _assert_integral_boosts()
     posting_cols = [
         F.col("shard"),
         F.col("tw.term").alias("term"),
@@ -509,7 +545,9 @@ def write_sharded_index(index: ShardedIndex, path: str) -> None:
         .parquet(f"{path}/docs_sharded")
     )
     index.term_stats.write.mode("overwrite").parquet(f"{path}/term_stats")
-    release_docnos(index)  # everything derived from docnos is now on disk
+    # releases only a docnos cache build_sharded_index itself created
+    # (caller-supplied docnos may back other live segment plans)
+    release_docnos(index)
     meta = {
         "n_docs": index.n_docs,
         "avgdl": index.avgdl,

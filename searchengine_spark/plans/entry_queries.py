@@ -896,13 +896,24 @@ SELECT doc_id, cooccur FROM p WHERE cooccur > 0
 ORDER BY cooccur DESC, doc_id LIMIT 100"""
 
 
+def _scratch_dir(sf_dir: str, name: str) -> str:
+    """Deterministic per-(sf, purpose) scratch path for throwaway index
+    builds: repeated driver runs overwrite in place (parquet mode=overwrite)
+    instead of leaking a fresh tempfile.mkdtemp per run."""
+    import hashlib
+    import os
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/searchengine_spark_scratch/{name}_{key}"
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def q_phrase_sharded(spark, sf_dir) -> DataFrame:
     """Same phrase over the positional compressed sharded index (delta-gap +
     varint position streams, per-shard intersection kernel). Uses the simple
     tokenizer so it is SQL-checkable against the same oracle as
     q_phrase_match (the two Spark paths must agree with DuckDB)."""
-    import tempfile
-
     from searchengine_spark.operators import shards
     from searchengine_spark.plans.phrase import phrase_match_sharded
     from searchengine_spark.plans.text_only import tokenize_text_documents_simple
@@ -910,7 +921,7 @@ def q_phrase_sharded(spark, sf_dir) -> DataFrame:
     tokenized = tokenize_text_documents_simple(
         _documents(spark, sf_dir), with_positions=True
     )
-    path = tempfile.mkdtemp(prefix="phrase_sharded_")
+    path = _scratch_dir(sf_dir, "phrase_sharded")
     index = shards.shard_and_write_from_tokenized(
         spark, tokenized, path, n_shards=8, with_positions=True
     )
@@ -938,13 +949,11 @@ def q_postings_export_roundtrip(spark, sf_dir) -> DataFrame:
     logical postings. Must equal the directly-computed ``postings_sample``
     (same DuckDB oracle checks both), so the codec encode/decode and the
     layout-export operator sit under the driver's correctness gate."""
-    import tempfile
-
     from searchengine_spark.operators import shards
     from searchengine_spark.plans.text_only import tokenize_text_documents_simple
 
     tokenized = tokenize_text_documents_simple(_documents(spark, sf_dir))
-    path = tempfile.mkdtemp(prefix="export_roundtrip_")
+    path = _scratch_dir(sf_dir, "export_roundtrip")
     index = shards.shard_and_write_from_tokenized(spark, tokenized, path, n_shards=8)
     tables = shards.export_index(spark, index)
     return (
@@ -956,24 +965,143 @@ def q_postings_export_roundtrip(spark, sf_dir) -> DataFrame:
 SQL_POSTINGS_EXPORT_ROUNDTRIP = SQL_POSTINGS_SAMPLE
 
 
+# -------------------------------------------------- stemmed-path DuckDB oracle
+# Porter stemming is not SQL-expressible, but the REST of the flagship path
+# is: materialize the stemmed token arrays once, driver-side, with the SAME
+# pure functions the engine's Arrow UDFs run (textproc.tokenize_filtered /
+# make_snippet), then express BM25 + the full boost chain + normalize/top-k
+# in pure SQL over that table. This puts the Porter path under the driver's
+# independent hash gate instead of rows-only. The driver compares at
+# sf=0.01, so the static SQL reads the sf0.01-derived parquet (the
+# materializer is invoked from __spark_entry__.oracle_sql()).
+STEMMED_QUERY = "dup fast join"
+STEMMED_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def stemmed_oracle_path(sf_dir: str) -> str:
+    import os
+
+    return os.path.join(_scratch_dir(sf_dir, "stemmed_oracle"), "stemmed.parquet")
+
+
+def materialize_stemmed_oracle_table(sf_dir: str) -> str:
+    """Driver-side Python (NOT Spark): documents.parquet → (doc_id, toks,
+    doc_len, snippet) parquet via the shared pure tokenizer. The documents
+    table is small (10³-10⁴ rows at oracle scale); this is the DuckDB-side
+    twin of plans/text_only.tokenize_text_documents."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchengine_spark.functions import textproc
+
+    src = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    doc_ids = [str(x) for x in src.column("doc_id").to_pylist()]
+    texts = src.column("text").to_pylist()
+    toks = [textproc.tokenize_filtered(t or "") for t in texts]
+    out = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.string()),
+            "toks": pa.array(toks, pa.list_(pa.string())),
+            "doc_len": pa.array([len(t) for t in toks], pa.int64()),
+            "snippet": pa.array(
+                [textproc.make_snippet(t or "") for t in texts], pa.string()
+            ),
+        }
+    )
+    path = stemmed_oracle_path(sf_dir)
+    pq.write_table(out, path)
+    return path
+
+
+def _build_stemmed_sql(path: str) -> str:
+    """BM25 + boost chain + normalize/top-10 in DuckDB SQL over the
+    materialized stemmed table — the exact SQL twin of
+    BM25SearchEngine.search_batch for the text-only corpus (title/meta
+    empty ⇒ only the snippet-phrase and proximity boosts can fire).
+    Query analysis (expand/stem/weights) happens HERE at SQL-build time
+    with the engine's own analyze_query, embedded as literals."""
+    from searchengine_spark.config import (
+        MIN_SCORE_THRESHOLD,
+        ORIGINAL_TERM_IMPORTANCE,
+        PROXIMITY_BOOST,
+        SNIPPET_PHRASE_BOOST,
+    )
+    from searchengine_spark.plans.bm25 import analyze_query
+
+    term_mult, orig_tokens, original_query = analyze_query(STEMMED_QUERY)
+    weights = {
+        t: float(m) * (ORIGINAL_TERM_IMPORTANCE if t in orig_tokens else 1.0)
+        for t, m in term_mult.items()
+    }
+    w_values = ", ".join(f"('{t}', {w!r})" for t, w in sorted(weights.items()))
+    term_in = "(" + ", ".join(f"'{t}'" for t in sorted(weights)) + ")"
+    oq = original_query.replace("'", "''")
+    prox = (
+        " AND ".join(
+            f"contains(lower(t.snippet), '{tok}')" for tok in orig_tokens
+        )
+        if len(orig_tokens) > 1
+        else "FALSE"
+    )
+    return f"""WITH toks AS (
+  SELECT doc_id, toks, CAST(doc_len AS DOUBLE) AS doc_len, snippet
+  FROM read_parquet('{path}')),
+w(term, wt) AS (VALUES {w_values}),
+n AS (SELECT COUNT(*) AS n_docs FROM toks),
+avgdl AS (SELECT AVG(doc_len) AS avgdl FROM toks),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+       WHERE term IN {term_in} GROUP BY doc_id, term),
+idf AS (SELECT term, GREATEST(0.0, LN((n_docs - df + 0.5) / (df + 0.5))) AS idf
+        FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), n),
+raw AS (SELECT tf.doc_id,
+               SUM(idf.idf * w.wt * ({K1 + 1.0} * tf.tf)
+                   / ({K1} * ({1.0 - B} + {B} * d.doc_len / avgdl.avgdl) + tf.tf)) AS score
+        FROM tf JOIN idf USING (term) JOIN w USING (term)
+             JOIN toks d USING (doc_id), avgdl
+        GROUP BY tf.doc_id),
+boosted AS (
+  SELECT r.doc_id,
+         r.score
+         * (CASE WHEN contains(lower(t.snippet), '{oq}')
+                 THEN {SNIPPET_PHRASE_BOOST} ELSE 1.0 END)
+         * (CASE WHEN {prox} THEN {PROXIMITY_BOOST} ELSE 1.0 END) AS score
+  FROM raw r JOIN toks t USING (doc_id)),
+norm AS (SELECT doc_id,
+                CASE WHEN MAX(score) OVER () > 0
+                     THEN score / MAX(score) OVER () ELSE score END AS nscore
+         FROM boosted)
+SELECT CAST(rank AS INTEGER) AS rank, doc_id, ROUND(nscore, 6) AS score FROM (
+  SELECT doc_id, nscore,
+         ROW_NUMBER() OVER (ORDER BY nscore DESC, doc_id ASC) AS rank
+  FROM norm)
+WHERE rank <= 10 AND nscore > {MIN_SCORE_THRESHOLD}
+ORDER BY rank"""
+
+
+SQL_BM25_STEMMED_TOPK = _build_stemmed_sql(stemmed_oracle_path(STEMMED_ORACLE_SF_DIR))
+SQL_WAND_STEMMED_TOPK = SQL_BM25_STEMMED_TOPK
+
+
 # ---------------------------------------------------------------- rows-only (non-SQL) queries
 def q_bm25_stemmed_topk(spark, sf_dir) -> DataFrame:
     """Full engine (Porter-stemmed tokenizer + boost chain) over the
-    text-only documents table; no SQL oracle (stemming is not
-    SQL-expressible) — correctness covered by the pytest oracle."""
+    text-only documents table; the DuckDB oracle runs the SQL twin over the
+    driver-side-materialized stemmed token table (SQL_BM25_STEMMED_TOPK)."""
     from searchengine_spark.plans.text_only import build_text_only_index
     from searchengine_spark.plans.bm25 import BM25SearchEngine
 
     tables = build_text_only_index(spark, _documents(spark, sf_dir))
     engine = BM25SearchEngine(spark, tables)
-    res = engine.search_batch([(0, "dup fast join")], top_k=10, with_metadata=False)
+    res = engine.search_batch([(0, STEMMED_QUERY)], top_k=10, with_metadata=False)
     return res.select("rank", "doc_id", F.round("score", 6).alias("score"))
 
 
 def q_wand_stemmed_topk(spark, sf_dir) -> DataFrame:
     """Same query as q_bm25_stemmed_topk but through the sharded compressed
     index + block-max WAND path (plans/wand.py); rank/score-identity of the
-    two paths is property-tested in tests/test_wand.py. Rows-only here."""
+    two paths is property-tested in tests/test_wand.py, and the same
+    stemmed-table DuckDB oracle checks both."""
     from searchengine_spark.operators import shards
     from searchengine_spark.plans.text_only import build_text_only_index
     from searchengine_spark.plans.wand import WandSearchEngine
@@ -983,7 +1111,7 @@ def q_wand_stemmed_topk(spark, sf_dir) -> DataFrame:
         setattr(tables, name, getattr(tables, name).cache())
     sharded = shards.build_sharded_index(spark, tables, n_shards=8)
     engine = WandSearchEngine(spark, sharded)
-    res = engine.search_batch([(0, "dup fast join")], top_k=10, with_metadata=False)
+    res = engine.search_batch([(0, STEMMED_QUERY)], top_k=10, with_metadata=False)
     return res.select("rank", "doc_id", F.round("score", 6).alias("score"))
 
 
@@ -1062,6 +1190,9 @@ ORACLE_SQL = {
     "postings_export_roundtrip": SQL_POSTINGS_EXPORT_ROUNDTRIP,
     "proximity_cooccur": SQL_PROXIMITY_COOCCUR,
     "window_cooccur": SQL_WINDOW_COOCCUR,
-    # bm25_stemmed_topk / wand_stemmed_topk: no SQL oracle (Porter stemming);
+    # stemmed path: SQL over the driver-side-materialized stemmed token
+    # table (__spark_entry__.oracle_sql() runs the materializer first)
+    "bm25_stemmed_topk": SQL_BM25_STEMMED_TOPK,
+    "wand_stemmed_topk": SQL_WAND_STEMMED_TOPK,
     # multimodal_features: no SQL oracle (byte-level featurizer) — rows-only.
 }

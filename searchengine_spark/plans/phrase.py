@@ -161,11 +161,15 @@ def phrase_match_sharded(
     # top-k BEFORE the docs join: the ranked match set is ≤ top_k rows, so
     # the metadata join is a broadcast hash join — the big docs table is
     # never shuffled (scan-only), which is what survives at 10^12 docs.
+    # With top_k=None the match set is unbounded (a phrase can hit a large
+    # fraction of the corpus), so the hint is withheld and AQE picks the
+    # join strategy from the actual match-set size at runtime.
     topk = matches.orderBy(F.desc("phrase_tf"), F.asc("docno"))
     if top_k is not None:
         topk = topk.limit(top_k)
+        topk = F.broadcast(topk)
     return (
-        index.docs.join(F.broadcast(topk), ["shard", "docno"])
+        index.docs.join(topk, ["shard", "docno"])
         .select("doc_id", "url", "content_snippet", "phrase_tf")
         .orderBy(F.desc("phrase_tf"), F.asc("docno"))
     )

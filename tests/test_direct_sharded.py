@@ -103,3 +103,15 @@ def test_resumable_direct_build_identical_after_kill(spark, pages, tmp_path_fact
     pd.testing.assert_frame_equal(_decoded(resumed), _decoded(direct))
     assert resumed.n_docs == direct.n_docs
     assert resumed.avgdl == pytest.approx(direct.avgdl, abs=1e-9)
+
+
+def test_fractional_boost_fails_loudly(monkeypatch):
+    """The int32 tf cast is only sound for integral field boosts; a
+    fractional boost config must fail before the cast can truncate."""
+    import pytest as _pytest
+
+    from searchengine_spark.operators import shards as _shards
+
+    monkeypatch.setattr(_shards, "TITLE_BOOST", 2.5)
+    with _pytest.raises(ValueError, match="integral field boosts"):
+        _shards._assert_integral_boosts()
