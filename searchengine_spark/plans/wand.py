@@ -80,6 +80,151 @@ MAX_BOOST = (
 _CAND_SCHEMA = "query_id int, shard int, docno long, raw double"
 
 
+def _phase1_kernel(
+    blocks_pdf: pd.DataFrame, qinfo, avgdl: float, k: int, prune: bool
+) -> pd.DataFrame:
+    """One shard's block-max WAND pass (pure numpy/pandas; see module doc):
+    block-UB pruning seeded with raw scores, exact raw scoring of surviving
+    blocks, then candidate emission within the MAX_BOOST margin of the
+    shard's kth-largest raw score."""
+    if len(blocks_pdf) == 0:
+        return pd.DataFrame(columns=["query_id", "shard", "docno", "raw"])
+    blocks_pdf = blocks_pdf.reset_index(drop=True)
+    shard = int(blocks_pdf["shard"].iloc[0])
+    decode_cache: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+    def decoded(i: int):
+        if i not in decode_cache:
+            r = blocks_pdf.iloc[i]
+            d, t, dl = codec.decode_postings(r["gaps"], r["tfs"], r["dls"])
+            decode_cache[i] = (d.astype(np.int64), t, dl)
+        return decode_cache[i]
+
+    by_term = {t: g for t, g in blocks_pdf.groupby("term")}
+    out_rows = []
+
+    for qid, weights, _orig_tokens, _original_query in qinfo:
+        terms = [t for t in weights if t in by_term]
+        if not terms:
+            continue
+        # flatten block metadata across the query's terms
+        t_idx, row_idx, mins, maxs, ubs = [], [], [], [], []
+        per_term = {}
+        for ti, t in enumerate(terms):
+            g = by_term[t].sort_values("min_docno")
+            w = weights[t]
+            per_term[ti] = (
+                g["min_docno"].to_numpy(dtype=np.int64),
+                g["max_docno"].to_numpy(dtype=np.int64),
+                w * g["max_partial"].to_numpy(dtype=np.float64),
+                g.index.to_numpy(),
+            )
+            t_idx.extend([ti] * len(g))
+            row_idx.extend(g.index.tolist())
+            mins.extend(per_term[ti][0])
+            maxs.extend(per_term[ti][1])
+            ubs.extend(per_term[ti][2])
+        t_idx = np.asarray(t_idx)
+        row_pos = np.asarray(row_idx, dtype=np.int64)
+        mins_a = np.asarray(mins, dtype=np.int64)
+        maxs_a = np.asarray(maxs, dtype=np.int64)
+        ubs_a = np.asarray(ubs, dtype=np.float64)
+
+        # UB_full per block: own ub + best overlapping ub of each other term
+        ub_full = ubs_a.copy()
+        for i in range(len(ubs_a)):
+            lo, hi = mins_a[i], maxs_a[i]
+            for ti, (tmins, tmaxs, tubs, _) in per_term.items():
+                if ti == t_idx[i]:
+                    continue
+                # blocks of ti sorted by min_docno, non-overlapping:
+                # overlap range = [first with max>=lo, last with min<=hi]
+                a = np.searchsorted(tmaxs, lo, side="left")
+                z = np.searchsorted(tmins, hi, side="right")
+                if z > a:
+                    ub_full[i] += tubs[a:z].max()
+
+        def score_docnos(block_positions, restrict=None, killed=None):
+            """Decode the given blocks, sum w·partial per docno."""
+            parts_d, parts_s = [], []
+            for bi in block_positions:
+                gpos = int(row_pos[bi])
+                d, tf, dl = decoded(gpos)
+                w = weights[terms[t_idx[bi]]]
+                partial = ((K1 + 1.0) * tf) / (
+                    K1 * (1.0 - B + B * dl / avgdl) + tf
+                )
+                parts_d.append(d)
+                parts_s.append(w * partial)
+            if not parts_d:
+                return np.empty(0, np.int64), np.empty(0)
+            dd = np.concatenate(parts_d)
+            ss = np.concatenate(parts_s)
+            if restrict is not None:
+                m = np.isin(dd, restrict)
+                dd, ss = dd[m], ss[m]
+            if killed is not None and killed.size:
+                m = ~np.isin(dd, killed)
+                dd, ss = dd[m], ss[m]
+            if dd.size == 0:
+                return dd, ss
+            order = np.argsort(dd, kind="stable")
+            dd, ss = dd[order], ss[order]
+            uniq, starts = np.unique(dd, return_index=True)
+            sums = np.add.reduceat(ss, starts)
+            return uniq, sums
+
+        theta = 0.0
+        if prune and len(ubs_a) > 1:
+            # seed θ: exact RAW scores of the top-UB block's docs
+            # (raw ≤ boosted, so θ lower-bounds the kth-best boosted)
+            b_star = int(np.argmax(ub_full))
+            lo, hi = mins_a[b_star], maxs_a[b_star]
+            overlapping = [
+                i
+                for i in range(len(ubs_a))
+                if mins_a[i] <= hi and maxs_a[i] >= lo
+            ]
+            seed_docnos = decoded(int(row_pos[b_star]))[0]
+            du, su = score_docnos(overlapping, restrict=seed_docnos)
+            if su.size >= k:
+                theta = float(np.partition(su, -k)[-k])
+
+        kept = np.flatnonzero(ub_full * MAX_BOOST >= theta) if theta > 0 else np.arange(len(ubs_a))
+        dropped = np.setdiff1d(np.arange(len(ubs_a)), kept)
+        killed = (
+            np.unique(
+                np.concatenate(
+                    [decoded(int(row_pos[i]))[0] for i in dropped]
+                )
+            )
+            if dropped.size
+            else np.empty(0, np.int64)
+        )
+        du, su = score_docnos(kept, killed=killed)
+        if du.size == 0:
+            continue
+        # candidate emission: only docs within MAX_BOOST of the
+        # shard's kth-largest raw can reach the shard top-k boosted
+        if su.size > k:
+            theta_k = float(np.partition(su, -k)[-k])
+            keep = su * MAX_BOOST >= theta_k
+            du, su = du[keep], su[keep]
+        out_rows.append(
+            pd.DataFrame(
+                {
+                    "query_id": np.full(du.size, qid, dtype=np.int32),
+                    "shard": np.full(du.size, shard, dtype=np.int32),
+                    "docno": du,
+                    "raw": su,
+                }
+            )
+        )
+    if not out_rows:
+        return pd.DataFrame(columns=["query_id", "shard", "docno", "raw"])
+    return pd.concat(out_rows, ignore_index=True)
+
+
 class WandSearchEngine:
     """Batched exact top-k over a :class:`ShardedIndex` via block-max WAND."""
 
@@ -120,6 +265,26 @@ class WandSearchEngine:
                 qinfo.append((qid, weights, orig_tokens, original_query))
         return qinfo, sorted({t for _, w, _, _ in qinfo for t in w})
 
+    def _candidates(self, qinfo, term_list, top_k: int, prune: bool) -> DataFrame:
+        """Phase 1: per-shard block-max WAND over posting blocks only →
+        candidate (query_id, shard, docno, raw) rows (see module doc)."""
+        k = top_k
+        avgdl = self.avgdl  # plain float local: the kernel closure must not
+        # capture self (it holds the SparkSession, which cannot ship to workers)
+
+        def kernel(blocks_pdf: pd.DataFrame) -> pd.DataFrame:
+            return _phase1_kernel(blocks_pdf, qinfo, avgdl, k, prune)
+
+        # term IN-list prunes the blocks scan (row-group stats on term);
+        # explicit column select prunes the positional streams (pcounts/
+        # pgaps) when scoring a positional index — BM25 never needs them
+        from searchengine_spark.operators.shards import _BLOCK_COLS
+
+        blocks = self.index.blocks.select(*_BLOCK_COLS).filter(
+            F.col("term").isin(term_list)
+        )
+        return blocks.groupby("shard").applyInPandas(kernel, _CAND_SCHEMA)
+
     def search_batch(
         self,
         queries: list[tuple[int, str]],
@@ -131,157 +296,7 @@ class WandSearchEngine:
         qinfo, term_list = self._analyze(queries, stopwords)
         if not qinfo:
             return None
-        k = top_k
-        avgdl = self.avgdl  # plain float local: the kernel closure must not
-        # capture self (it holds the SparkSession, which cannot ship to workers)
-
-        def kernel(blocks_pdf: pd.DataFrame) -> pd.DataFrame:
-            if len(blocks_pdf) == 0:
-                return pd.DataFrame(columns=["query_id", "shard", "docno", "raw"])
-            blocks_pdf = blocks_pdf.reset_index(drop=True)
-            shard = int(blocks_pdf["shard"].iloc[0])
-            decode_cache: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-
-            def decoded(i: int):
-                if i not in decode_cache:
-                    r = blocks_pdf.iloc[i]
-                    d, t, dl = codec.decode_postings(r["gaps"], r["tfs"], r["dls"])
-                    decode_cache[i] = (d.astype(np.int64), t, dl)
-                return decode_cache[i]
-
-            by_term = {t: g for t, g in blocks_pdf.groupby("term")}
-            out_rows = []
-
-            for qid, weights, _orig_tokens, _original_query in qinfo:
-                terms = [t for t in weights if t in by_term]
-                if not terms:
-                    continue
-                # flatten block metadata across the query's terms
-                t_idx, row_idx, mins, maxs, ubs = [], [], [], [], []
-                per_term = {}
-                for ti, t in enumerate(terms):
-                    g = by_term[t].sort_values("min_docno")
-                    w = weights[t]
-                    per_term[ti] = (
-                        g["min_docno"].to_numpy(dtype=np.int64),
-                        g["max_docno"].to_numpy(dtype=np.int64),
-                        w * g["max_partial"].to_numpy(dtype=np.float64),
-                        g.index.to_numpy(),
-                    )
-                    t_idx.extend([ti] * len(g))
-                    row_idx.extend(g.index.tolist())
-                    mins.extend(per_term[ti][0])
-                    maxs.extend(per_term[ti][1])
-                    ubs.extend(per_term[ti][2])
-                t_idx = np.asarray(t_idx)
-                row_pos = np.asarray(row_idx, dtype=np.int64)
-                mins_a = np.asarray(mins, dtype=np.int64)
-                maxs_a = np.asarray(maxs, dtype=np.int64)
-                ubs_a = np.asarray(ubs, dtype=np.float64)
-
-                # UB_full per block: own ub + best overlapping ub of each other term
-                ub_full = ubs_a.copy()
-                for i in range(len(ubs_a)):
-                    lo, hi = mins_a[i], maxs_a[i]
-                    for ti, (tmins, tmaxs, tubs, _) in per_term.items():
-                        if ti == t_idx[i]:
-                            continue
-                        # blocks of ti sorted by min_docno, non-overlapping:
-                        # overlap range = [first with max>=lo, last with min<=hi]
-                        a = np.searchsorted(tmaxs, lo, side="left")
-                        z = np.searchsorted(tmins, hi, side="right")
-                        if z > a:
-                            ub_full[i] += tubs[a:z].max()
-
-                def score_docnos(block_positions, restrict=None, killed=None):
-                    """Decode the given blocks, sum w·partial per docno."""
-                    parts_d, parts_s = [], []
-                    for bi in block_positions:
-                        gpos = int(row_pos[bi])
-                        d, tf, dl = decoded(gpos)
-                        w = weights[terms[t_idx[bi]]]
-                        partial = ((K1 + 1.0) * tf) / (
-                            K1 * (1.0 - B + B * dl / avgdl) + tf
-                        )
-                        parts_d.append(d)
-                        parts_s.append(w * partial)
-                    if not parts_d:
-                        return np.empty(0, np.int64), np.empty(0)
-                    dd = np.concatenate(parts_d)
-                    ss = np.concatenate(parts_s)
-                    if restrict is not None:
-                        m = np.isin(dd, restrict)
-                        dd, ss = dd[m], ss[m]
-                    if killed is not None and killed.size:
-                        m = ~np.isin(dd, killed)
-                        dd, ss = dd[m], ss[m]
-                    if dd.size == 0:
-                        return dd, ss
-                    order = np.argsort(dd, kind="stable")
-                    dd, ss = dd[order], ss[order]
-                    uniq, starts = np.unique(dd, return_index=True)
-                    sums = np.add.reduceat(ss, starts)
-                    return uniq, sums
-
-                theta = 0.0
-                if prune and len(ubs_a) > 1:
-                    # seed θ: exact RAW scores of the top-UB block's docs
-                    # (raw ≤ boosted, so θ lower-bounds the kth-best boosted)
-                    b_star = int(np.argmax(ub_full))
-                    lo, hi = mins_a[b_star], maxs_a[b_star]
-                    overlapping = [
-                        i
-                        for i in range(len(ubs_a))
-                        if mins_a[i] <= hi and maxs_a[i] >= lo
-                    ]
-                    seed_docnos = decoded(int(row_pos[b_star]))[0]
-                    du, su = score_docnos(overlapping, restrict=seed_docnos)
-                    if su.size >= k:
-                        theta = float(np.partition(su, -k)[-k])
-
-                kept = np.flatnonzero(ub_full * MAX_BOOST >= theta) if theta > 0 else np.arange(len(ubs_a))
-                dropped = np.setdiff1d(np.arange(len(ubs_a)), kept)
-                killed = (
-                    np.unique(
-                        np.concatenate(
-                            [decoded(int(row_pos[i]))[0] for i in dropped]
-                        )
-                    )
-                    if dropped.size
-                    else np.empty(0, np.int64)
-                )
-                du, su = score_docnos(kept, killed=killed)
-                if du.size == 0:
-                    continue
-                # candidate emission: only docs within MAX_BOOST of the
-                # shard's kth-largest raw can reach the shard top-k boosted
-                if su.size > k:
-                    theta_k = float(np.partition(su, -k)[-k])
-                    keep = su * MAX_BOOST >= theta_k
-                    du, su = du[keep], su[keep]
-                out_rows.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": np.full(du.size, qid, dtype=np.int32),
-                            "shard": np.full(du.size, shard, dtype=np.int32),
-                            "docno": du,
-                            "raw": su,
-                        }
-                    )
-                )
-            if not out_rows:
-                return pd.DataFrame(columns=["query_id", "shard", "docno", "raw"])
-            return pd.concat(out_rows, ignore_index=True)
-
-        # term IN-list prunes the blocks scan (row-group stats on term);
-        # explicit column select prunes the positional streams (pcounts/
-        # pgaps) when scoring a positional index — BM25 never needs them
-        from searchengine_spark.operators.shards import _BLOCK_COLS
-
-        blocks = self.index.blocks.select(*_BLOCK_COLS).filter(
-            F.col("term").isin(term_list)
-        )
-        candidates = blocks.groupby("shard").applyInPandas(kernel, _CAND_SCHEMA)
+        candidates = self._candidates(qinfo, term_list, top_k, prune)
 
         # ---- phase 2: metadata for SURVIVORS only ------------------------
         # broadcast the tiny candidate set against the docs store: a map-side
@@ -302,9 +317,15 @@ class WandSearchEngine:
             .join(F.broadcast(qmeta), "query_id")
             .withColumn("score", F.col("raw"))
         )
+        # Metadata is CONSUMED at the scan site by the boost expression;
+        # only (query_id, doc_id, score) flows into the normalize/top-k
+        # exchange. On a tie-heavy corpus the candidate set can approach
+        # the match set, so keeping the windowed rows narrow (~40 B vs
+        # ~400 B with metadata) is what keeps the exchange cheap; winners
+        # re-fetch their metadata below via a second ≤k·|batch|-row
+        # broadcast probe of the docs store.
         boosted = joined.select(
-            "query_id", "doc_id", "url", "title", "description",
-            "content_snippet", boost_chain_expr().alias("score"),
+            "query_id", "doc_id", boost_chain_expr().alias("score")
         )
 
         w = Window.partitionBy("query_id")
@@ -335,7 +356,12 @@ class WandSearchEngine:
                 ]
             )
 
-        return out.select(
+        # winners-only metadata fetch: broadcast the ≤ top_k·|batch| ranked
+        # rows against the docs store (map-side probe, no docs exchange)
+        meta = self.index.docs.select(
+            "doc_id", "url", "title", "description", "content_snippet"
+        )
+        return meta.join(F.broadcast(out), "doc_id").select(
             "query_id",
             "rank",
             "doc_id",
