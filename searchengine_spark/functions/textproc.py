@@ -22,7 +22,7 @@ Porter implementation in :mod:`searchengine_spark.functions.porter`.
 from __future__ import annotations
 
 import hashlib
-import html as _htmllib
+import html.parser as _htmlparser
 import re
 from typing import Iterable
 
@@ -50,11 +50,7 @@ _RE_META1 = re.compile(r'<meta[^>]*name="description"[^>]*content="([^"]*)"', re
 _RE_META2 = re.compile(r'<meta[^>]*content="([^"]*)"[^>]*name="description"', re.IGNORECASE)
 _RE_DOMAIN = re.compile(r"https?://(?:www\.)?([^/]+)")
 # Elements whose entire subtree the reference decomposes (crawler.py:287-288)
-_RE_DROP_BLOCKS = re.compile(
-    r"<(script|style|nav|footer|header)\b[^>]*>.*?</\1\s*>",
-    re.IGNORECASE | re.DOTALL,
-)
-_RE_COMMENT = re.compile(r"<!--.*?-->", re.DOTALL)
+_DROP_ELEMENTS = frozenset({"script", "style", "nav", "footer", "header"})
 
 
 def clean_text(text: str) -> str:
@@ -63,32 +59,67 @@ def clean_text(text: str) -> str:
     return _RE_WS.sub(" ", text).strip()
 
 
+class _TextExtractor(_htmlparser.HTMLParser):
+    """Event-driven twin of the reference's extraction (crawler.py:284-290):
+    BeautifulSoup(lxml) ``decompose()`` of script/style/nav/footer/header
+    subtrees followed by ``get_text()`` (bare concatenation of text nodes,
+    no separator). Parser-level behaviors replicated:
+
+    * quoted attribute values may contain ``>`` (a regex tag-stripper
+      mis-splits these; the tokenizer here does not);
+    * script/style are raw-text elements — their content is swallowed up
+      to the matching close tag, or to EOF when unclosed;
+    * nav/footer/header are container elements unknown to libxml2's HTML4
+      tag table, so an unclosed one stays open and swallows everything to
+      its parent's end (≈ EOF) — modeled by a drop-depth that only a
+      matching close tag decrements; nested same-name blocks nest;
+    * ``<nav/>`` self-closing syntax does not exist for non-void HTML
+      elements — real HTML parsers treat it as an OPEN tag, so it swallows;
+    * comments, doctype, CDATA/marked sections produce no text;
+    * entities decode at parse time (``convert_charrefs``), so the
+      reference's ``clean_text`` tag-strip runs on DECODED text — escaped
+      markup (``&lt;b&gt;``) becomes a literal tag that clean_text removes.
+
+    Hand-derived hostile-input expectations live in
+    tests/test_extraction_hostile.py; the remaining known divergences from
+    bs4+lxml are documented there per-case.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.parts: list[str] = []
+        self._drop_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _DROP_ELEMENTS:
+            self._drop_depth += 1
+
+    def handle_startendtag(self, tag, attrs):
+        # "<nav/>": HTML has no self-closing non-void elements — it opens
+        self.handle_starttag(tag, attrs)
+
+    def handle_endtag(self, tag):
+        if tag in _DROP_ELEMENTS and self._drop_depth > 0:
+            self._drop_depth -= 1
+
+    def handle_data(self, data):
+        if self._drop_depth == 0:
+            self.parts.append(data)
+
+
 def extract_text_from_html(html: str) -> str:
     """HTML → main-content text (crawler.py:284-290 semantics).
 
-    The reference uses BeautifulSoup(lxml): ``decompose()`` of
-    script/style/nav/footer/header subtrees, ``get_text()``, then
-    ``clean_text``. bs4/lxml are not available here, so the same semantics
-    are implemented with regexes; this is exact for the well-formed,
-    non-nested HTML our corpus generator emits (block elements never nest
-    within themselves, tags never split words). Entity decoding mirrors
-    bs4's parse-time unescaping, which happens BEFORE the reference's
-    ``clean_text`` tag-strip — so escaped markup (``&lt;b&gt;``) decodes to
-    literal tags that ``clean_text`` then removes; we replicate that order
-    (tag-strip after unescape) exactly.
+    bs4/lxml are unavailable in this environment; the stdlib
+    ``html.parser`` event stream drives an exact re-derivation of
+    decompose+get_text (see :class:`_TextExtractor`), then the reference's
+    ``clean_text`` (tag-strip + whitespace-collapse) runs over the decoded
+    text — the same post-pass the reference applies to ``soup.get_text()``.
     """
-    text = _RE_COMMENT.sub(" ", html)
-    # iterate: generator never nests same-name blocks, but be safe
-    prev = None
-    while prev != text:
-        prev = text
-        text = _RE_DROP_BLOCKS.sub(" ", text)
-    text = _RE_TAG.sub(" ", text)
-    # bs4 has already entity-decoded every text node by get_text() time;
-    # clean_text (tag-strip + ws-collapse) runs on the DECODED text.
-    text = _htmllib.unescape(text)
-    text = _RE_TAG.sub(" ", text)
-    return _RE_WS.sub(" ", text).strip()
+    p = _TextExtractor()
+    p.feed(html)
+    p.close()
+    return clean_text("".join(p.parts))
 
 
 def extract_title_from_html(html: str) -> str:

@@ -1,0 +1,267 @@
+"""ANN engine API: similarity search over any (id, embedding) DataFrame.
+
+Reference parity: the reference's semantic index is a brute-force in-RAM
+cosine scan over MiniLM vectors (bert_embeddings.py:133-226 — encode corpus,
+`util.cos_sim(query, all_embeddings)`, argsort top-k). This module provides
+that exact baseline (:func:`cosine_topk`) plus the two scale paths the
+reference lacks — random-hyperplane LSH bucketing and IVF coarse
+quantization — as composable plans over ANY embeddings DataFrame:
+
+* :func:`cosine_topk` — exact full-scan baseline (the correctness oracle).
+* :func:`lsh_bucket_topk` — sign-bucket prune: score only the query's
+  bucket (~1/2^n_planes of the corpus per probe).
+* :func:`lsh_neardup_pairs` — banded-LSH near-duplicate pairs: band explode
+  → self-join on (band, key); the shuffle IS the bucketing, no O(n²) pair
+  scan ever happens (recall follows the standard banded bound 1-(1-p^r)^b).
+* :func:`ivf_topk` — inverted-file probe: assign vectors to their nearest
+  coarse centroid once (broadcast join), probe the query's n_probe cells.
+
+Scale notes (10⁹+ vectors): every plan is bucket-join shaped — the only
+shuffles are keyed by bucket/band/cell; queries broadcast; no driver-side
+vector loops. At that scale `assign_*` outputs should be persisted columns
+(partition the table BY bucket/cell so a probe prunes at the scan), which
+composes naturally: the assign functions are plain column transforms.
+
+All distance math is Catalyst (`F.aggregate`/`zip_with` dot products —
+whole-stage codegen, no Python in the hot path). Hyperplanes/centroids are
+injected (deterministic helpers provided) so results are reproducible and
+SQL-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_expr(x: Column, y: Column) -> Column:
+    """Catalyst dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
+    )
+
+
+def l2sq_expr(x: Column, y: Column) -> Column:
+    """Catalyst squared-L2 distance of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+
+
+def cosine_expr(x: Column, y: Column) -> Column:
+    """Cosine similarity; null when either vector has zero norm."""
+    denom = F.sqrt(dot_expr(x, x)) * F.sqrt(dot_expr(y, y))
+    return F.when(denom != 0, dot_expr(x, y) / denom)
+
+
+def make_hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes (LCG-hash sign pattern) — the
+    reproducible default; callers may supply their own (e.g. Gaussian)."""
+    return [
+        [1.0 if ((i * 1103515245 + j * 12345) % 97) < 48 else -1.0 for i in range(dim)]
+        for j in range(n_planes)
+    ]
+
+
+def _query_frame(df: DataFrame, query, id_col: str, vec_col: str):
+    """Normalize the query argument: an id value (select that row from df)
+    or a python list (literal vector). Returns a 1-row frame ('qv')."""
+    if isinstance(query, (list, tuple)):
+        return df.sparkSession.range(1).select(
+            F.array(*[F.lit(float(v)) for v in query]).alias("qv")
+        )
+    return df.filter(F.col(id_col) == query).select(F.col(vec_col).alias("qv")).limit(1)
+
+
+def cosine_topk(
+    df: DataFrame,
+    query,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_query_id=None,
+) -> DataFrame:
+    """Exact brute-force cosine top-k (the reference's semantic search,
+    bert_embeddings.py:186-226). One corpus scan; the query is broadcast.
+    Columns: (id_col, sim). Deterministic tie-break by id."""
+    e = df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+    if exclude_query_id is not None:
+        e = e.filter(F.col(id_col) != exclude_query_id)
+    q = _query_frame(df.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col)), query, id_col, vec_col)
+    return (
+        e.crossJoin(F.broadcast(q))
+        .select(id_col, cosine_expr(F.col("v"), F.col("qv")).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def assign_lsh_buckets(
+    df: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Add the sign-bit LSH bucket column (bit j = sign of v·plane_j).
+    Pure column transform — persist/partition by it for scan-prunable
+    probes at scale."""
+    v = F.col(vec_col).cast("array<double>")
+    bucket = None
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(c)) for c in plane])
+        bit = F.when(dot_expr(v, p) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return df.withColumn(bucket_col, bucket)
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    query,
+    planes: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_query_id=None,
+) -> DataFrame:
+    """ANN top-k scanning only the query's LSH bucket, exact cosine on the
+    candidates. At 10⁹ vectors the bucket prune replaces the full scan
+    (≈ 2^-n_planes of the data per probe)."""
+    b = assign_lsh_buckets(
+        df.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col)),
+        planes,
+        vec_col=vec_col,
+    ).select(id_col, F.col(vec_col).alias("v"), "bucket")
+    if exclude_query_id is not None:
+        cand_src = b.filter(F.col(id_col) != exclude_query_id)
+    else:
+        cand_src = b
+    if isinstance(query, (list, tuple)):
+        q = _query_frame(df, query, id_col, vec_col)
+        q = assign_lsh_buckets(q, planes, vec_col="qv").select(
+            "qv", F.col("bucket").alias("qbucket")
+        )
+    else:
+        q = b.filter(F.col(id_col) == query).select(
+            F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
+        ).limit(1)
+    cand = cand_src.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+    return (
+        cand.select(id_col, cosine_expr(F.col("v"), F.col("qv")).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def lsh_neardup_pairs(
+    df: DataFrame,
+    planes: list[list[float]],
+    bands: list[list[int]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded LSH.
+
+    ``bands`` lists, per band, the plane indices whose sign bits form that
+    band's key. Vectors sharing ANY band key become candidate pairs (band
+    explode → self-join on (band, key) — the shuffle is the bucketing);
+    exact cosine keeps pairs ≥ threshold. Columns: (vec_a, vec_b, sim)."""
+    v = F.col(vec_col).cast("array<double>")
+    bits = []
+    for plane in planes:
+        p = F.array(*[F.lit(float(c)) for c in plane])
+        bits.append(F.when(dot_expr(v, p) > 0, F.lit(1)).otherwise(F.lit(0)))
+    band_structs = []
+    for bi, plane_idxs in enumerate(bands):
+        key = None
+        for pos, pi in enumerate(plane_idxs):
+            term = bits[pi] * (1 << pos)
+            key = term if key is None else key + term
+        band_structs.append(
+            F.struct(F.lit(bi).alias("band"), key.alias("key"))
+        )
+    banded = df.select(
+        id_col, v.alias("v"), F.explode(F.array(*band_structs)).alias("b")
+    ).select(id_col, "v", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cand.select("vec_a", "vec_b", cosine_expr(F.col("va"), F.col("vb")).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def assign_ivf_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest coarse centroid (L2, ties by
+    centroid id). ``centroids`` is a small (cid, cv array<double>) frame —
+    broadcast; the assignment is one map-side pass. Persist/partition by
+    ``cell`` at scale. Columns: (id_col, v, cell)."""
+    e = df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+    return (
+        e.crossJoin(F.broadcast(centroids))
+        .groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct(
+                    l2sq_expr(F.col("v"), F.col("cv")).alias("d"),
+                    F.col("cid").alias("cid"),
+                )
+            )["cid"].alias("cell"),
+            F.any_value("v").alias("v"),
+        )
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: DataFrame,
+    query,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """IVF ANN: probe the query's ``n_probe`` nearest cells, exact cosine
+    on their members only (n_probe/n_cells of the data per query). Pass a
+    precomputed ``assigned`` frame (from :func:`assign_ivf_cells`) to skip
+    re-assignment — the production pattern (assign once, probe many)."""
+    if assigned is None:
+        assigned = assign_ivf_cells(df, centroids, id_col=id_col, vec_col=vec_col)
+    q = _query_frame(df, query, id_col, vec_col)
+    qcells = (
+        q.crossJoin(F.broadcast(centroids))
+        .select("qv", "cid", l2sq_expr(F.col("qv"), F.col("cv")).alias("d"))
+        .orderBy("d", "cid")
+        .limit(n_probe)
+        .select("qv", F.col("cid").alias("cell"))
+    )
+    cand = assigned.join(F.broadcast(qcells), "cell")
+    if not isinstance(query, (list, tuple)):
+        cand = cand.filter(F.col(id_col) != query)
+    return (
+        cand.select(id_col, cosine_expr(F.col("v"), F.col("qv")).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -336,27 +336,12 @@ FROM s a JOIN s b ON b.doc_id = a.doc_id + 1"""
 
 # ---------------------------------------------------------------- similarity: cosine top-k
 def q_embedding_topk(spark, sf_dir) -> DataFrame:
-    e = _embeddings(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
-    dot = lambda x, y: F.aggregate(  # noqa: E731
-        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
-    )
-    denom = F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(F.col("qv"), F.col("qv")))
-    sims = (
-        e.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            F.when(denom != 0, dot(F.col("v"), F.col("qv")) / denom).alias("sim"),
-        )
-    )
-    return (
-        sims.orderBy(F.desc("sim"), F.asc("vec_id"))
-        .limit(10)
-        .select("vec_id", F.round("sim", 5).alias("sim"))
-    )
+    """Exact brute-force baseline via the ANN engine API (plans/ann.py)."""
+    from searchengine_spark.plans import ann
+
+    return ann.cosine_topk(
+        _embeddings(spark, sf_dir), query=0, k=10, exclude_query_id=0
+    ).select("vec_id", F.round("sim", 5).alias("sim"))
 
 
 SQL_EMBEDDING_TOPK = """WITH q AS (
@@ -556,7 +541,16 @@ FROM documents"""
 # ---------------------------------------------------------------- similarity: LSH-bucketed ANN
 EMB_DIM = 64
 N_PLANES = 4
-# deterministic ±1 hyperplanes, identical arithmetic on both sides
+
+
+def _planes():
+    from searchengine_spark.plans import ann
+
+    return ann.make_hyperplanes(EMB_DIM, N_PLANES)
+
+
+# deterministic ±1 hyperplanes, identical arithmetic on both sides (the
+# SQL oracle embeds the same values; generator shared with plans/ann.py)
 HYPERPLANES = [
     [1.0 if ((i * 1103515245 + j * 12345) % 97) < 48 else -1.0 for i in range(EMB_DIM)]
     for j in range(N_PLANES)
@@ -564,91 +558,31 @@ HYPERPLANES = [
 
 
 def q_ann_lsh_bucketed(spark, sf_dir) -> DataFrame:
-    """Scale path for ANN: random-hyperplane LSH buckets (4 sign bits) →
-    search only the query's bucket → exact cosine on candidates → top-5.
-    At 10^9 vectors the bucket prune replaces a full scan; brute-force
-    cosine (q_embedding_topk) is the exactness baseline."""
-    e = _embeddings(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    dot = lambda x, y: F.aggregate(  # noqa: E731
-        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
-    )
-    bucket = None
-    for j in range(N_PLANES):
-        plane = F.array(*[F.lit(c) for c in HYPERPLANES[j]])
-        bit = F.when(dot(F.col("v"), plane) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    e = e.withColumn("bucket", bucket)
-    q = e.filter(F.col("vec_id") == 0).select(
-        F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
-    )
-    cand = e.filter(F.col("vec_id") != 0).join(
-        F.broadcast(q), F.col("bucket") == F.col("qbucket")
-    )
-    denom = F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(F.col("qv"), F.col("qv")))
-    return (
-        cand.select(
-            "vec_id",
-            F.when(denom != 0, dot(F.col("v"), F.col("qv")) / denom).alias("sim"),
-        )
-        .orderBy(F.desc("sim"), F.asc("vec_id"))
-        .limit(5)
-        .select("vec_id", F.round("sim", 5).alias("sim"))
-    )
+    """Scale path for ANN via the engine API (plans/ann.py): 4-sign-bit
+    LSH buckets → search only the query's bucket → exact cosine on the
+    candidates → top-5. Brute force (q_embedding_topk) is the baseline."""
+    from searchengine_spark.plans import ann
+
+    return ann.lsh_bucket_topk(
+        _embeddings(spark, sf_dir), query=0, planes=_planes(), k=5, exclude_query_id=0
+    ).select("vec_id", F.round("sim", 5).alias("sim"))
 
 
 # ------------------------------------------------------- dedup: embedding-cosine near-dup
 def q_embedding_neardup(spark, sf_dir) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, LSH-banded: the 4 hyperplane
-    sign bits split into 2 bands of 2 bits; docs sharing ANY band bucket are
-    candidates (band explode → self-join on (band, key) — the shuffle IS the
-    bucketing, no O(n²) pair scan); exact cosine keeps pairs ≥ 0.4. At 10⁹
-    vectors the band join is the scale path; recall is the standard banded-
-    LSH bound 1-(1-p²)² for per-plane agreement probability p."""
-    e = _embeddings(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    dot = lambda x, y: F.aggregate(  # noqa: E731
-        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
-    )
-    bits = []
-    for j in range(N_PLANES):
-        plane = F.array(*[F.lit(c) for c in HYPERPLANES[j]])
-        bits.append(F.when(dot(F.col("v"), plane) > 0, F.lit(1)).otherwise(F.lit(0)))
-    bands = e.select(
-        "vec_id",
-        "v",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("band"), (bits[0] + 2 * bits[1]).alias("key")),
-                F.struct(F.lit(1).alias("band"), (bits[2] + 2 * bits[3]).alias("key")),
-            )
-        ).alias("b"),
-    ).select("vec_id", "v", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-        )
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
-    denom = F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
-    sim = F.when(denom != 0, dot(F.col("va"), F.col("vb")) / denom)
-    return (
-        cand.select("vec_a", "vec_b", sim.alias("sim"))
-        .filter(F.col("sim") >= 0.4)
-        .select("vec_a", "vec_b", F.round("sim", 5).alias("sim"))
-    )
+    """Embedding-cosine near-duplicate pairs via the engine API
+    (plans/ann.py:lsh_neardup_pairs): 4 sign bits split into 2 bands of 2;
+    vectors sharing ANY band key become candidates (band explode →
+    self-join — the shuffle IS the bucketing, no O(n²) pair scan); exact
+    cosine keeps pairs ≥ 0.4. Banded-LSH recall bound: 1-(1-p²)²."""
+    from searchengine_spark.plans import ann
+
+    return ann.lsh_neardup_pairs(
+        _embeddings(spark, sf_dir),
+        planes=_planes(),
+        bands=[[0, 1], [2, 3]],
+        threshold=0.4,
+    ).select("vec_a", "vec_b", F.round("sim", 5).alias("sim"))
 
 
 # ------------------------------------------------------- similarity: IVF probe-2 ANN
@@ -657,58 +591,29 @@ IVF_PROBE = 2
 
 
 def q_ann_ivf_probe(spark, sf_dir) -> DataFrame:
-    """IVF-style ANN: vectors 1..IVF_CELLS serve as deterministic coarse
-    centroids; every other vector is assigned to its nearest centroid (L2,
-    tie-break by centroid id); the query probes its IVF_PROBE nearest cells
-    and exact-cosine ranks only those cells' members. At 10⁹ vectors the
-    cell assignment is one broadcast-join pass and a probe touches
-    IVF_PROBE/IVF_CELLS of the data; the brute-force q_embedding_topk is
-    the exactness baseline, LSH (q_ann_lsh_bucketed) the hash-based
-    alternative."""
-    e = _embeddings(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    dot = lambda x, y: F.aggregate(  # noqa: E731
-        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
-    )
-    l2 = lambda x, y: F.aggregate(  # noqa: E731
-        F.zip_with(x, y, lambda a, b: (a - b) * (a - b)), F.lit(0.0), lambda acc, z: acc + z
-    )
+    """IVF ANN via the engine API (plans/ann.py:ivf_topk): vectors
+    1..IVF_CELLS serve as deterministic coarse centroids; every other
+    vector joins its nearest centroid's cell (one broadcast pass); the
+    query probes its IVF_PROBE nearest cells and exact-cosine ranks only
+    those cells' members (IVF_PROBE/IVF_CELLS of the data per query)."""
+    from searchengine_spark.plans import ann
+
+    e = _embeddings(spark, sf_dir)
     cents = (
         e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= IVF_CELLS))
-        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
-    )
-    # nearest cell per vector: min over (dist, cid) structs is deterministic
-    assigned = (
-        e.filter(F.col("vec_id") > IVF_CELLS)
-        .crossJoin(F.broadcast(cents))
-        .groupBy("vec_id")
-        .agg(
-            F.min(F.struct(l2(F.col("v"), F.col("cv")).alias("d"), F.col("cid").alias("cid")))[
-                "cid"
-            ].alias("cell"),
-            F.any_value("v").alias("v"),
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").cast("array<double>").alias("cv"),
         )
     )
-    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
-    qcells = (
-        q.crossJoin(F.broadcast(cents))
-        .select("qv", "cid", l2(F.col("qv"), F.col("cv")).alias("d"))
-        .orderBy("d", "cid")
-        .limit(IVF_PROBE)
-        .select("qv", F.col("cid").alias("cell"))
-    )
-    cand = assigned.join(F.broadcast(qcells), "cell")
-    denom = F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(F.col("qv"), F.col("qv")))
-    return (
-        cand.select(
-            "vec_id",
-            F.when(denom != 0, dot(F.col("v"), F.col("qv")) / denom).alias("sim"),
-        )
-        .orderBy(F.desc("sim"), F.asc("vec_id"))
-        .limit(5)
-        .select("vec_id", F.round("sim", 5).alias("sim"))
-    )
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ann.ivf_topk(
+        e.filter(F.col("vec_id") > IVF_CELLS),
+        cents,
+        query=qvec,
+        k=5,
+        n_probe=IVF_PROBE,
+    ).select("vec_id", F.round("sim", 5).alias("sim"))
 
 
 SQL_ANN_IVF_PROBE = f"""WITH e AS (

@@ -19,6 +19,10 @@ Corpus properties (to exercise every engine path):
   * HTML noise: nav/header/footer/script/style blocks (must be stripped),
     comments, entities, raw URLs, hyphenated words, <a href> links whose
     anchor text *is* content (bs4 get_text keeps it).
+  * Hostile-HTML slices (deterministic doc_id residues): '>' inside quoted
+    attributes, escaped markup, word-splitting inline tags, uppercase
+    drop-elements, CDATA sections, unclosed containers — the constructs
+    tests/test_extraction_hostile.py pins hand-derived expectations for.
   * meta description alternates attribute order (exercises
     text_processing.py:114-125 fallback).
   * ~10% of URLs lack article-path/date patterns (crawler.py:131-157).
@@ -129,6 +133,30 @@ def gen_doc(doc_id: int, seed: int = SEED) -> dict:
 
     anchor = " ".join(_sample_words(rng, cum, vocab, 2))
     body_paras = "\n".join(f"<p>{p}</p>" for p in paras)
+
+    # hostile-HTML slices (deterministic by doc_id): constructs real
+    # Common-Crawl pages contain that break naive tag regexes — quoted
+    # '>' in attributes, escaped markup, word-splitting inline tags,
+    # uppercase drop-elements, CDATA, unclosed containers. The ``text``
+    # column derives through the extractor, so hand-derived per-construct
+    # expectations live in tests/test_extraction_hostile.py.
+    if doc_id % 13 == 5:
+        body_paras += (
+            f'\n<p>see <a title="q>{doc_id}" href="/x">note {doc_id}</a> end</p>'
+        )
+    if doc_id % 17 == 3:
+        w = _sample_words(rng, cum, vocab, 1)[0]
+        body_paras += f"\n<p>&lt;em&gt;{w}&lt;/em&gt; emphasized</p>"
+    if doc_id % 19 == 4:
+        body_paras += "\n<NAV>stale uppercase menu</NAV>"
+    if doc_id % 23 == 6:
+        body_paras += f"\n<![CDATA[raw {doc_id}]]>"
+    if doc_id % 29 == 7:
+        w = _sample_words(rng, cum, vocab, 1)[0]
+        h = max(1, len(w) // 2)
+        body_paras += f"\n<p>{w[:h]}<b>{w[h:]}</b> inline</p>"
+    if doc_id % 31 == 8:
+        body_paras += "\n<div class=open data-x='1'>unclosed container text"
     meta_tag = (
         f'<meta name="description" content="{meta}">'
         if doc_id % 2 == 0

@@ -1,0 +1,144 @@
+"""ANN engine API (plans/ann.py): exactness and recall properties.
+
+* brute-force cosine_topk is the exactness oracle (reference analog:
+  bert_embeddings.py:186-226 full-scan cos_sim);
+* LSH bucket search is EXACT restricted to the query's bucket (its top-k
+  equals brute force over the bucket members);
+* IVF with n_probe == n_cells degenerates to the exact full scan;
+* on clustered data both approximate paths reach high recall vs brute
+  force (deterministic rng — the standard ANN recall property);
+* near-dup banded LSH finds every planted near-duplicate pair whose
+  vectors agree on some band (and never reports a pair below threshold).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.plans import ann
+
+DIM = 16
+N_CLUSTERS = 8
+PER_CLUSTER = 40
+
+
+@pytest.fixture(scope="module")
+def vectors():
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(N_CLUSTERS, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(N_CLUSTERS):
+        for _ in range(PER_CLUSTER):
+            v = centers[c] + 0.05 * rng.normal(size=DIM)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return rows
+
+
+@pytest.fixture(scope="module")
+def emb(spark, vectors):
+    return spark.createDataFrame(
+        vectors, "vec_id long, embedding array<double>"
+    ).cache()
+
+
+def _brute(vectors, qid, k, universe=None):
+    vecs = {i: np.asarray(v) for i, v in vectors}
+    q = vecs[qid]
+    sims = []
+    for i, v in vecs.items():
+        if i == qid or (universe is not None and i not in universe):
+            continue
+        sims.append((-float(np.dot(v, q) / (np.linalg.norm(v) * np.linalg.norm(q))), i))
+    sims.sort()
+    return [i for _, i in sims[:k]]
+
+
+def test_cosine_topk_matches_numpy_oracle(emb, vectors):
+    got = [r["vec_id"] for r in ann.cosine_topk(emb, query=3, k=10, exclude_query_id=3).collect()]
+    assert got == _brute(vectors, 3, 10)
+
+
+def test_lsh_bucket_topk_exact_within_bucket(emb, vectors):
+    planes = ann.make_hyperplanes(DIM, 4)
+    b = ann.assign_lsh_buckets(emb, planes)
+    buckets = {r["vec_id"]: r["bucket"] for r in b.select("vec_id", "bucket").collect()}
+    qid = 3
+    members = {i for i, bk in buckets.items() if bk == buckets[qid] and i != qid}
+    got = [
+        r["vec_id"]
+        for r in ann.lsh_bucket_topk(emb, query=qid, planes=planes, k=10, exclude_query_id=qid).collect()
+    ]
+    assert got == _brute(vectors, qid, 10, universe=members)
+
+
+def test_lsh_recall_on_clustered_data(emb, vectors):
+    planes = ann.make_hyperplanes(DIM, 4)
+    hits = total = 0
+    for qid in (0, 45, 123, 250):
+        want = set(_brute(vectors, qid, 10))
+        got = {
+            r["vec_id"]
+            for r in ann.lsh_bucket_topk(emb, query=qid, planes=planes, k=10, exclude_query_id=qid).collect()
+        }
+        hits += len(want & got)
+        total += len(want)
+    assert hits / total >= 0.7, f"LSH recall {hits}/{total}"
+
+
+@pytest.fixture(scope="module")
+def centroids(spark, vectors):
+    # first vector of each cluster as the coarse centroid
+    rows = [
+        (c, vectors[c * PER_CLUSTER][1]) for c in range(N_CLUSTERS)
+    ]
+    return spark.createDataFrame(rows, "cid long, cv array<double>")
+
+
+def test_ivf_full_probe_is_exact(emb, vectors, centroids):
+    got = [
+        r["vec_id"]
+        for r in ann.ivf_topk(
+            emb, centroids, query=3, k=10, n_probe=N_CLUSTERS
+        ).collect()
+    ]
+    assert got == _brute(vectors, 3, 10)
+
+
+def test_ivf_probe2_recall_on_clustered_data(emb, vectors, centroids):
+    hits = total = 0
+    for qid in (0, 45, 123, 250):
+        want = set(_brute(vectors, qid, 10))
+        got = {
+            r["vec_id"]
+            for r in ann.ivf_topk(emb, centroids, query=qid, k=10, n_probe=2).collect()
+        }
+        hits += len(want & got)
+        total += len(want)
+    assert hits / total >= 0.9, f"IVF recall {hits}/{total}"
+
+
+def test_neardup_pairs_threshold_and_bands(spark):
+    # planted: 0/1 near-identical, 2 far from both
+    rows = [
+        (0, [1.0] * DIM),
+        (1, [1.0] * (DIM - 1) + [0.9]),
+        (2, [(-1.0) ** i for i in range(DIM)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = ann.make_hyperplanes(DIM, 4)
+    out = ann.lsh_neardup_pairs(
+        df, planes, bands=[[0, 1], [2, 3]], threshold=0.9
+    ).collect()
+    pairs = {(r["vec_a"], r["vec_b"]) for r in out}
+    assert (0, 1) in pairs
+    assert all(r["sim"] >= 0.9 for r in out)
+    assert not any(2 in p for p in pairs)
+
+
+def test_entry_constants_match_api_generator():
+    from searchengine_spark.plans.entry_queries import EMB_DIM, HYPERPLANES, N_PLANES
+
+    assert ann.make_hyperplanes(EMB_DIM, N_PLANES) == HYPERPLANES

@@ -32,8 +32,11 @@ def test_extract_text_strips_blocks_and_entities():
     assert "HDR" not in text and "NAV" not in text and "FTR" not in text
     assert "var a" not in text and ".x" not in text
     assert "alpha & beta" in text
-    # title text IS kept by get_text (only script/style/nav/footer/header decomposed)
-    assert text.startswith("T ")
+    # title text IS kept by get_text (only script/style/nav/footer/header
+    # decomposed), and get_text concatenates adjacent text nodes with NO
+    # separator — "T" and "alpha" have no whitespace between them in the
+    # source, so they fuse exactly as bs4's get_text() fuses them
+    assert text.startswith("Talpha")
 
 
 def test_tokenize_reference_semantics():
