@@ -1,0 +1,142 @@
+"""Serving layer (EP1): the reference Flask app's endpoints re-expressed
+over the Spark engines, on stdlib ``http.server`` (Flask is unavailable in
+this environment; the route/JSON contract is the reference's).
+
+Reference parity (app.py):
+
+* ``/search?q=&page=``      — app.py:104-194: 3× over-fetch, excluded-domain
+  filter, pagination (the shared :func:`plans.bm25.paginate`).
+* ``/api/search?q=&limit=`` — app.py:197-244: 2× over-fetch, excluded-domain
+  filter, truncate to ``limit``, ``{'results': [...], 'total': n}``.
+* ``/health`` / ``/api/health`` — app.py:246-275: status + document_count +
+  term_count + search_mode.
+
+Serving is a presentation concern over already-tiny top-k rows: every
+endpoint runs ONE batched Spark plan and slices driver-side, exactly as the
+reference front-end does over its in-RAM index. Scale posture: a real
+deployment runs many stateless replicas of this service against one shared
+(immutable) index — the engine object is read-only, so the handler is
+thread-safe under ``ThreadingHTTPServer``.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import SparkSession
+
+from searchengine_spark.plans.bm25 import paginate
+from searchengine_spark.plans.classify import EXCLUDED_DOMAINS
+
+RESULTS_PER_PAGE = 10  # WEB_CONFIG['results_per_page'] (utils/config.py)
+
+
+class SearchService:
+    """Engine façade the HTTP layer calls; usable directly in tests/CLI.
+
+    ``engine`` is a BM25SearchEngine or WandSearchEngine (same
+    ``search_batch`` contract). Health counts are collected once at init
+    (two scalar jobs) — the reference reads len() of its in-RAM dicts."""
+
+    def __init__(self, spark: SparkSession, engine, search_mode: str = "bm25"):
+        self.spark = spark
+        self.engine = engine
+        self.search_mode = search_mode
+        tables = getattr(engine, "tables", None)
+        index = getattr(engine, "index", None)
+        if tables is not None:
+            self.document_count = int(tables.stats.collect()[0]["n_docs"])
+            self.term_count = int(tables.term_stats.count())
+        else:
+            self.document_count = int(index.n_docs)
+            self.term_count = int(index.term_stats.count())
+
+    # -- app.py:104-194 ------------------------------------------------
+    def search(self, query: str, page: int = 1, per_page: int = RESULTS_PER_PAGE) -> dict:
+        rows = self._ranked(query, top_k=per_page * 3)
+        page_data = paginate(rows, page=page, per_page=per_page)
+        page_data["query"] = query
+        page_data["search_source"] = self.search_mode
+        return page_data
+
+    # -- app.py:197-244 ------------------------------------------------
+    def api_search(self, query: str, limit: int = RESULTS_PER_PAGE) -> dict:
+        if not query:
+            return {"results": [], "total": 0}
+        rows = self._ranked(query, top_k=limit * 2)[:limit]
+        return {"results": rows, "total": len(rows)}
+
+    # -- app.py:246-275 ------------------------------------------------
+    def health(self) -> dict:
+        return {
+            "status": "healthy",
+            "index_loaded": True,
+            "document_count": self.document_count,
+            "term_count": self.term_count,
+            "search_mode": self.search_mode,
+        }
+
+    def _ranked(self, query: str, top_k: int) -> list[dict]:
+        res = self.engine.search_batch([(0, query)], top_k=top_k)
+        if res is None:
+            return []
+        out = []
+        for r in res.orderBy("rank").collect():
+            url = (r["url"] or "").lower()
+            # F11 (app.py:136-154): front-end substring domain filter
+            if any(d in url for d in EXCLUDED_DOMAINS):
+                continue
+            out.append(
+                {
+                    "doc_id": r["doc_id"],
+                    "url": r["url"],
+                    "title": r["title"],
+                    "meta_description": r["description"],
+                    "content_snippet": r["content_snippet"],
+                    "score": float(r["score"]),
+                    "source": self.search_mode,
+                }
+            )
+        return out
+
+
+def make_handler(service: SearchService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet test servers
+            pass
+
+        def _json(self, obj, status: int = 200):
+            body = json.dumps(obj).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            parsed = urllib.parse.urlparse(self.path)
+            qs = urllib.parse.parse_qs(parsed.query)
+            q = qs.get("q", [""])[0]
+            try:
+                if parsed.path in ("/health", "/api/health"):
+                    self._json(service.health())
+                elif parsed.path == "/api/search":
+                    limit = int(qs.get("limit", [RESULTS_PER_PAGE])[0])
+                    self._json(service.api_search(q, limit=limit))
+                elif parsed.path == "/search":
+                    page = int(qs.get("page", ["1"])[0])
+                    self._json(service.search(q, page=page))
+                else:
+                    self._json({"error": "not found"}, status=404)
+            except Exception as e:  # app.py returns 500 + error payload
+                self._json({"status": "unhealthy", "error": str(e)}, status=500)
+
+    return Handler
+
+
+def serve(service: SearchService, port: int = 0) -> ThreadingHTTPServer:
+    """Bind (port=0 → ephemeral) and return the server; caller drives
+    ``serve_forever`` (typically on a thread) and ``shutdown``."""
+    return ThreadingHTTPServer(("127.0.0.1", port), make_handler(service))

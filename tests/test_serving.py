@@ -1,0 +1,84 @@
+"""Serving layer (EP1): endpoint contract vs the reference app.py routes,
+over a real in-process HTTP server + engine."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from searchengine_spark import serving
+from searchengine_spark.operators import index_build
+from searchengine_spark.plans.bm25 import BM25SearchEngine
+from searchengine_spark.sources import webgen
+
+N_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def service(spark):
+    pages = spark.createDataFrame(webgen.generate_pandas(N_DOCS))
+    tables = index_build.build_index(pages)
+    for name in ("docs", "postings", "doc_stats", "term_stats", "stats"):
+        setattr(tables, name, getattr(tables, name).cache())
+    return serving.SearchService(spark, BM25SearchEngine(spark, tables))
+
+
+@pytest.fixture(scope="module")
+def server(service):
+    srv = serving.serve(service, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=60) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_health_reports_index_counts(server, service):
+    for path in ("/health", "/api/health"):
+        status, body = _get(server + path)
+        assert status == 200
+        assert body["status"] == "healthy" and body["index_loaded"]
+        assert body["document_count"] == N_DOCS
+        assert body["term_count"] == service.term_count > 0
+
+
+def test_api_search_contract(server):
+    q = urllib.request.quote(webgen.reference_queries()[9][1])  # planted term
+    status, body = _get(f"{server}/api/search?q={q}&limit=5")
+    assert status == 200
+    assert set(body) == {"results", "total"}
+    assert 0 < body["total"] <= 5
+    r0 = body["results"][0]
+    assert {"doc_id", "url", "title", "meta_description", "content_snippet",
+            "score", "source"} <= set(r0)
+    assert 0.05 < r0["score"] <= 1.0
+
+
+def test_api_search_empty_query(server):
+    status, body = _get(server + "/api/search?q=")
+    assert status == 200 and body == {"results": [], "total": 0}
+
+
+def test_search_pagination(server):
+    q = urllib.request.quote(webgen.reference_queries()[9][1])
+    status, body = _get(f"{server}/search?q={q}&page=1")
+    assert status == 200
+    assert body["page"] == 1 and body["per_page"] == serving.RESULTS_PER_PAGE
+    assert body["total_pages"] >= 1
+    assert len(body["results"]) <= serving.RESULTS_PER_PAGE
+    # out-of-range page clamps (plans/bm25.paginate semantics)
+    _, body2 = _get(f"{server}/search?q={q}&page=999")
+    assert body2["page"] == body2["total_pages"]
+
+
+def test_unknown_route_404(server):
+    try:
+        urllib.request.urlopen(server + "/nope", timeout=60)
+        assert False, "expected 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
