@@ -622,6 +622,39 @@ def decode_blocks_to_postings(blocks_pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def term_skew_report(index: ShardedIndex, top_n: int = 20) -> DataFrame:
+    """Skew observability for the doc-range "salting": per head term, how
+    its posting list is spread across shards.
+
+    Columns: term, df (total postings), n_shards_present, max_shard_postings,
+    skew = max_shard_postings / ceil(df / n_shards). A well-salted head term
+    has skew ≈ 1 (its list splits near-uniformly across every shard — no
+    single task ever materializes the whole Zipf-head posting list); a
+    term-partitioned layout would show skew = n_shards. This is the
+    metric-driven check SURVEY §7 calls for, computable from block metadata
+    alone (Σ n per (shard, term)) — no posting decode, no extra state."""
+    per_shard = index.blocks.groupBy("term", "shard").agg(
+        F.sum("n").cast("long").alias("postings")
+    )
+    agg = per_shard.groupBy("term").agg(
+        F.sum("postings").alias("df"),
+        F.count("*").cast("long").alias("n_shards_present"),
+        F.max("postings").alias("max_shard_postings"),
+    )
+    return (
+        agg.withColumn(
+            "skew",
+            F.round(
+                F.col("max_shard_postings")
+                / F.ceil(F.col("df") / F.lit(index.n_shards)).cast("double"),
+                3,
+            ),
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(top_n)
+    )
+
+
 def export_index(spark: SparkSession, index: ShardedIndex) -> "IndexTables":
     """Inverse of :func:`build_sharded_index` (the CLI's ``optimize``):
     compressed sharded blocks → the logical ``IndexTables`` layout.

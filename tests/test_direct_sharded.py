@@ -115,3 +115,19 @@ def test_fractional_boost_fails_loudly(monkeypatch):
     monkeypatch.setattr(_shards, "TITLE_BOOST", 2.5)
     with _pytest.raises(ValueError, match="integral field boosts"):
         _shards._assert_integral_boosts()
+
+
+def test_head_term_skew_is_neutralized(spark, direct):
+    """Doc-range sharding must spread every head term's postings across
+    (almost) all shards with near-uniform per-shard lists — the explicit
+    skew handling the north rule demands, measured from block metadata."""
+    from searchengine_spark.operators import shards as _shards
+
+    report = _shards.term_skew_report(direct, top_n=5).collect()
+    assert report, "no terms in skew report"
+    for r in report:
+        # head terms (df >> n_shards) must appear in every shard...
+        if r["df"] >= 4 * direct.n_shards:
+            assert r["n_shards_present"] == direct.n_shards, r
+            # ...with no shard holding a disproportionate slice
+            assert r["skew"] <= 2.0, r
