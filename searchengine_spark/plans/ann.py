@@ -108,11 +108,11 @@ def assign_lsh_buckets(
     Pure column transform — persist/partition by it for scan-prunable
     probes at scale."""
     v = F.col(vec_col).cast("array<double>")
-    bucket = None
+    bucket = F.lit(0)  # zero planes → the single bucket 0 (exact scan)
     for j, plane in enumerate(planes):
         p = F.array(*[F.lit(float(c)) for c in plane])
         bit = F.when(dot_expr(v, p) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
+        bucket = bit if j == 0 else bucket + bit
     return df.withColumn(bucket_col, bucket)
 
 

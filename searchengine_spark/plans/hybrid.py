@@ -118,26 +118,54 @@ class HybridSearchEngine:
         )
 
     def embedding_search_batch(
-        self, queries: list[tuple[int, str]], top_k: int = 10
+        self, queries: list[tuple[int, str]], top_k: int = 10, ann_planes=None
     ) -> DataFrame:
         """Q9: per query, sim = 1/(1 + L2²) over normalized vectors
         (bert_embeddings.py:216-226 — FAISS IndexFlatL2 returns squared
-        L2), L2² = 2 − 2·dot. Exact top-k via per-query window."""
+        L2), L2² = 2 − 2·dot. Exact top-k via per-query window.
+
+        ``ann_planes`` (a hyperplane list from plans/ann.make_hyperplanes)
+        switches to the LSH scale path: the corpus scan is restricted to
+        each query's sign bucket (≈2^-n_planes of the table per query) —
+        the same pruning as ann.lsh_bucket_topk, with this engine's FAISS
+        similarity conversion. Empty list ⇒ one bucket ⇒ exact."""
         encode = make_encoder()
         qvecs = encode([q for _, q in queries])
-        qdf = self.spark.createDataFrame(
-            [
-                (qid, [float(x) for x in vec])
-                for (qid, _), vec in zip(queries, qvecs)
-            ],
-            "query_id int, qvec array<float>",
-        )
         dot = F.aggregate(
             F.zip_with("embedding", "qvec", lambda a, b: a * b),
             F.lit(0.0),
             lambda acc, z: acc + z.cast("double"),
         )
-        sims = self.embeddings.crossJoin(F.broadcast(qdf)).select(
+        if ann_planes is not None:
+            from searchengine_spark.plans import ann
+
+            emb = ann.assign_lsh_buckets(self.embeddings, ann_planes)
+            qdf = self.spark.createDataFrame(
+                [
+                    (
+                        qid,
+                        [float(x) for x in vec],
+                        sum(
+                            (1 << j)
+                            for j, p in enumerate(ann_planes)
+                            if float(np.dot(np.asarray(vec, np.float64), p)) > 0
+                        ),
+                    )
+                    for (qid, _), vec in zip(queries, qvecs)
+                ],
+                "query_id int, qvec array<float>, qbucket int",
+            )
+            src = emb.join(F.broadcast(qdf), F.col("bucket") == F.col("qbucket"))
+        else:
+            qdf = self.spark.createDataFrame(
+                [
+                    (qid, [float(x) for x in vec])
+                    for (qid, _), vec in zip(queries, qvecs)
+                ],
+                "query_id int, qvec array<float>",
+            )
+            src = self.embeddings.crossJoin(F.broadcast(qdf))
+        sims = src.select(
             "query_id",
             "doc_id",
             (F.lit(1.0) / (F.lit(1.0) + (F.lit(2.0) - F.lit(2.0) * dot))).alias("sim"),

@@ -114,3 +114,39 @@ def test_query_embed_differs_from_doc_embed(spark, spark_index):
     the query side encodes the raw query string."""
     e = build_doc_embeddings(spark_index.docs)
     assert e.columns == ["doc_id", "embedding"]
+
+
+def test_embedding_ann_path(spark, engine):
+    """ann_planes=[] means one bucket — must equal the exact scan row for
+    row; with real planes, every returned (query, doc, sim) must agree
+    with the exact path's sim for that pair (the prune only drops rows)."""
+    queries = [(0, "make work"), (1, "time year")]
+    exact = {
+        (r["query_id"], r["doc_id"]): r["sim"]
+        for r in engine.embedding_search_batch(queries, top_k=500).collect()
+    }
+    empty = engine.embedding_search_batch(queries, top_k=5, ann_planes=[]).collect()
+    base = engine.embedding_search_batch(queries, top_k=5).collect()
+    assert sorted((r["query_id"], r["doc_id"], round(r["sim"], 9)) for r in empty) == \
+        sorted((r["query_id"], r["doc_id"], round(r["sim"], 9)) for r in base)
+
+    from searchengine_spark.plans import ann
+    from searchengine_spark.plans.hybrid import EMBEDDING_DIM
+
+    planes = ann.make_hyperplanes(EMBEDDING_DIM, 4)
+    # a query whose text IS a doc's embedding composition lands in that
+    # doc's bucket by construction (identical vector) — the pruned path
+    # must find it with sim = 1/(1+0) = 1.0
+    doc = engine.tables.docs.orderBy("doc_id").first()
+    self_q = f"{doc['title']} {doc['title']} {doc['description']} {doc['content_snippet']}"
+    pruned = engine.embedding_search_batch(
+        [(7, self_q)], top_k=5, ann_planes=planes
+    ).collect()
+    assert any(r["doc_id"] == doc["doc_id"] for r in pruned), pruned
+    top = {r["doc_id"]: r["sim"] for r in pruned}
+    assert abs(top[doc["doc_id"]] - 1.0) < 1e-6  # float32 storage rounding
+    # prune-only property on arbitrary queries: any returned sim equals
+    # the exact path's sim for that (query, doc) pair
+    pruned2 = engine.embedding_search_batch(queries, top_k=5, ann_planes=planes).collect()
+    for r in pruned2:
+        assert abs(exact[(r["query_id"], r["doc_id"])] - r["sim"]) < 1e-9
