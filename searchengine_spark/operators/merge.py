@@ -98,12 +98,22 @@ def merge_block_segments(
         frames = []
         for (shard, term), g in pdf.groupby(["shard", "term"], sort=False):
             parts = [codec.decode_postings(r.gaps, r.tfs, r.dls) for r in g.itertuples()]
+            # carry the boost-bound flag stream through the re-encode; a
+            # source block without one (pre-flag segment) contributes the
+            # UNKNOWN sentinel per posting, never fabricated zeros
+            flags = [
+                codec.varint_decode(r.fls).astype(np.int64)
+                if len(getattr(r, "fls", b"")) > 0
+                else np.full(p[0].size, shards_mod.FLAG_UNKNOWN, dtype=np.int64)
+                for r, p in zip(g.itertuples(), parts)
+            ]
             cols = {
                 "shard": int(shard),
                 "term": term,
                 "docno": np.concatenate([p[0].astype(np.int64) for p in parts]),
                 "tf": np.concatenate([p[1] for p in parts]),
                 "doc_len": np.concatenate([p[2] for p in parts]),
+                "flags": np.concatenate(flags),
             }
             if with_positions:
                 plists: list[np.ndarray] = []

@@ -81,7 +81,7 @@ def _assert_integral_boosts() -> None:
 
 BLOCK_SCHEMA = (
     "shard int, term string, block_no int, n int, min_docno long, max_docno long, "
-    "max_partial double, gaps binary, tfs binary, dls binary"
+    "max_partial double, gaps binary, tfs binary, dls binary, fls binary"
 )
 # positional layout: two extra varint streams per block — per-posting
 # position counts + delta-gapped in-document token positions (codec.py)
@@ -92,9 +92,41 @@ TERM_BUCKETS = 8
 
 _BLOCK_COLS = [
     "shard", "term", "block_no", "n", "min_docno", "max_docno",
-    "max_partial", "gaps", "tfs", "dls",
+    "max_partial", "gaps", "tfs", "dls", "fls",
 ]
 _BLOCK_POS_COLS = _BLOCK_COLS + ["pcounts", "pgaps"]
+
+# Per-posting boost-bound flag bits (the ``fls`` varint stream): whether the
+# posting's term is a SUBSTRING of the doc's lowercased title / description /
+# content_snippet — the exact predicates the boost chain evaluates per query
+# token (plans/bm25.py:boost_chain_expr, reference indexer.py:405-441). One
+# byte per posting buys the WAND phase-1 kernel a per-doc boost upper/lower
+# bound far tighter than the global MAX_BOOST=13.5, collapsing candidate
+# emission from O(match set) to O(k) per shard (plans/wand.py). Bit 3 is the
+# "unknown" sentinel used when a merged segment predates the flag stream.
+FLAG_TITLE = 1
+FLAG_DESC = 2
+FLAG_SNIPPET = 4
+FLAG_UNKNOWN = 8
+
+
+def _boost_flags_col(lt, ld, lc, term) -> "F.Column":
+    """Catalyst expression for the per-posting flag byte. Uses the same
+    ``Contains`` expression as boost_chain_expr so bit semantics match the
+    query-time boost exactly (null field ≡ empty ≡ no match)."""
+    return (
+        F.when(lt.contains(term), F.lit(FLAG_TITLE)).otherwise(F.lit(0))
+        + F.when(ld.contains(term), F.lit(FLAG_DESC)).otherwise(F.lit(0))
+        + F.when(lc.contains(term), F.lit(FLAG_SNIPPET)).otherwise(F.lit(0))
+    ).cast("int")
+
+
+def _lowered_fields() -> list:
+    return [
+        F.lower(F.coalesce(F.col("title"), F.lit(""))).alias("_lt"),
+        F.lower(F.coalesce(F.col("description"), F.lit(""))).alias("_ld"),
+        F.lower(F.coalesce(F.col("content_snippet"), F.lit(""))).alias("_lc"),
+    ]
 
 
 def encode_blocks_pdf(
@@ -170,6 +202,12 @@ def encode_blocks_pdf(
         "gaps": _block_slices(gaps.astype(np.uint64)),
         "tfs": _block_slices(tfs_u),
         "dls": _block_slices(dls_u),
+        # boost-bound flag stream (one byte/posting); an empty buffer marks a
+        # block built without flags — the WAND kernel treats it as UNKNOWN
+        # (falls back to the loose MAX_BOOST bound), never as all-zeros
+        "fls": _block_slices(pdf["flags"].to_numpy(dtype=np.int64).astype(np.uint64))
+        if "flags" in pdf.columns
+        else [b""] * len(bstarts),
     }
     if with_positions:
         if "posv" in pdf.columns:
@@ -315,12 +353,25 @@ def build_sharded_index(
     # single big exchange. int32 doc_len bounds a single doc at 2^31
     # weighted tokens (~8 GiB of text), far beyond any real page.
     _assert_integral_boosts()
-    with_no = tables.postings.join(docnos, "doc_id").select(
-        (F.col("docno") / shard_size).cast("int").alias("shard"),
-        "term",
-        "docno",
-        F.col("tf").cast("int").alias("tf"),
-        F.col("doc_len").cast("int").alias("doc_len"),
+    # boost-bound flags need the doc's lowered metadata next to each posting;
+    # broadcast the (doc_id, 3 lowered fields) dimension when small, else let
+    # AQE plan the doc_id-keyed join (same threshold family as the engines)
+    fl_src = tables.docs.select("doc_id", *_lowered_fields())
+    if n_docs <= 2_000_000:
+        fl_src = F.broadcast(fl_src)
+    with_no = (
+        tables.postings.join(docnos, "doc_id")
+        .join(fl_src, "doc_id")
+        .select(
+            (F.col("docno") / shard_size).cast("int").alias("shard"),
+            "term",
+            "docno",
+            F.col("tf").cast("int").alias("tf"),
+            F.col("doc_len").cast("int").alias("doc_len"),
+            _boost_flags_col(
+                F.col("_lt"), F.col("_ld"), F.col("_lc"), F.col("term")
+            ).alias("flags"),
+        )
     )
 
     def encode_part(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -465,12 +516,18 @@ def shard_and_write_from_tokenized(
         F.col("docno"),
         F.col("tw.tf").cast("int").alias("tf"),
         F.col("doc_len").cast("int").alias("doc_len"),
+        # boost-bound flags: computed HERE, before the posting shuffle — the
+        # lowered metadata never enters the exchange, only the flag byte does
+        _boost_flags_col(
+            F.col("_lt"), F.col("_ld"), F.col("_lc"), F.col("tw.term")
+        ).alias("flags"),
     ]
     if with_positions:
         posting_cols.append(F.col("tw.npos").alias("npos"))
         posting_cols.append(F.col("tw.posv").alias("posv"))
     exploded = tk.select(
-        "shard", "docno", "doc_len", F.explode("tf_terms").alias("tw")
+        "shard", "docno", "doc_len", *_lowered_fields(),
+        F.explode("tf_terms").alias("tw"),
     ).select(*posting_cols)
     (
         exploded.withColumn("_tb", F.pmod(F.xxhash64("term"), F.lit(TERM_BUCKETS)))
@@ -565,8 +622,13 @@ def read_sharded_index(spark: SparkSession, path: str) -> ShardedIndex:
     with open(f"{path}/meta.json") as f:
         meta = json.load(f)
     meta.setdefault("with_positions", False)
+    blocks = spark.read.parquet(f"{path}/blocks")
+    if "fls" not in blocks.columns:
+        # index written before the boost-bound flag stream existed: empty
+        # buffer = UNKNOWN, the kernel falls back to the MAX_BOOST bound
+        blocks = blocks.withColumn("fls", F.lit(b""))
     return ShardedIndex(
-        blocks=spark.read.parquet(f"{path}/blocks"),
+        blocks=blocks,
         docs=spark.read.parquet(f"{path}/docs_sharded"),
         term_stats=spark.read.parquet(f"{path}/term_stats"),
         **meta,

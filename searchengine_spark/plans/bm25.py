@@ -200,8 +200,13 @@ class BM25SearchEngine:
             buckets = sorted({term_bucket(t) for t in term_list})
             postings = postings.filter(F.col("bucket").isin(buckets))
         postings = postings.filter(F.col("term").isin(term_list))
-        idf = self.tables.term_stats.filter(F.col("term").isin(term_list)).select(
-            "term", "idf"
+        # idf == 0 terms (in ≥ half the corpus) contribute 0 to every score
+        # and cannot lift a doc past the post-normalize threshold — dropping
+        # them is exact and prunes their whole posting scan out of the plan
+        idf = (
+            self.tables.term_stats.filter(F.col("term").isin(term_list))
+            .filter(F.col("idf") > 0)
+            .select("term", "idf")
         )
         weights = F.broadcast(qterms.join(idf, "term"))
 

@@ -33,13 +33,29 @@ Exactness argument (property-tested against the exhaustive engine):
   outside the top-k, and those docnos are *killed* (their partial sums in
   surviving blocks are discarded) so no doc ever leaves phase 1 with an
   incomplete raw score;
-* candidate emission: a shard with more than k scored docs emits only those
-  with ``raw·MAX_BOOST ≥ θ_k`` where θ_k is the shard's kth-largest raw —
-  a dropped d has boosted(d) ≤ raw(d)·MAX_BOOST < θ_k ≤ (kth-largest
-  boosted in the shard), so ≥ k shard-mates strictly beat it and it cannot
-  be in the global top-k. With real (Zipf) score distributions the margin
-  set is a small multiple of k; degenerate all-equal-score corpora fall
-  back to emitting the shard's full match set, which is still exact.
+* candidate emission uses PER-DOC boost bounds from the index's per-posting
+  flag bits (operators/shards.py FLAG_*: is the posting's term a substring
+  of the doc's lowered title/description/snippet — the exact predicates the
+  boost chain tests per query token). For doc d with matched flagged terms:
+
+  - token-level factors are bounded both ways: the title/desc match pcts lie
+    between (known-present flags)/n_orig and (known-present + unknown
+    tokens)/n_orig, where *unknown* covers orig tokens with no posting in d
+    (they can still be field substrings) and flagless postings; same for
+    the all-tokens-in-snippet proximity test;
+  - the phrase chain compares the FULL query string, and a stemmed token
+    need not be a substring of it ("happily" → "happili"), so token bits
+    alone cannot rule a phrase out. A matched term t that IS a substring of
+    the query with field bit 0 does: field ⊉ t ⇒ field ⊉ query. The phrase
+    factor upper bound walks the exclusive chain over fields not so ruled
+    out; its lower bound is 1;
+  - emit d iff ``raw(d)·UBboost(d) ≥ θ_k`` where θ_k is the shard's
+    kth-largest ``raw·LBboost``: a dropped d has boosted(d) ≤ raw·UBboost
+    < θ_k ≤ kth-largest boosted in the shard, so ≥ k shard-mates beat it.
+    For the bulk of the corpus (all matched tokens flagged 0, stems ⊆
+    query) UBboost collapses to 1.0 and emission approaches the exact
+    per-shard top-k; an index without the flag stream falls back to the
+    global MAX_BOOST margin, which is still exact.
 
 Everything inside the kernel is numpy/pandas over Arrow batches
 (``applyInPandas`` by shard); decode is the vectorized varint codec. The
@@ -85,28 +101,42 @@ def _phase1_kernel(
 ) -> pd.DataFrame:
     """One shard's block-max WAND pass (pure numpy/pandas; see module doc):
     block-UB pruning seeded with raw scores, exact raw scoring of surviving
-    blocks, then candidate emission within the MAX_BOOST margin of the
-    shard's kth-largest raw score."""
+    blocks, then candidate emission under per-doc flag-derived boost bounds
+    against the shard's kth-largest boosted lower bound."""
     if len(blocks_pdf) == 0:
         return pd.DataFrame(columns=["query_id", "shard", "docno", "raw"])
     blocks_pdf = blocks_pdf.reset_index(drop=True)
     shard = int(blocks_pdf["shard"].iloc[0])
-    decode_cache: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    has_flags = "fls" in blocks_pdf.columns
+    decode_cache: dict[int, tuple] = {}
 
     def decoded(i: int):
         if i not in decode_cache:
             r = blocks_pdf.iloc[i]
             d, t, dl = codec.decode_postings(r["gaps"], r["tfs"], r["dls"])
-            decode_cache[i] = (d.astype(np.int64), t, dl)
+            fl = None
+            if has_flags and len(r["fls"]) > 0:
+                f = codec.varint_decode(r["fls"]).astype(np.int64)
+                if f.size == d.size:
+                    fl = f
+            decode_cache[i] = (d.astype(np.int64), t, dl, fl)
         return decode_cache[i]
 
     by_term = {t: g for t, g in blocks_pdf.groupby("term")}
     out_rows = []
 
-    for qid, weights, _orig_tokens, _original_query in qinfo:
+    for qid, weights, orig_tokens, original_query in qinfo:
         terms = [t for t in weights if t in by_term]
         if not terms:
             continue
+        # per-query inputs for the flag-derived boost bounds (module doc):
+        # orig-token multiplicity (boost pcts count duplicates), and which
+        # scored terms are substrings of the query string (phrase rule-out)
+        n_orig = len(orig_tokens)
+        orig_mult: dict[str, int] = {}
+        for t in orig_tokens:
+            orig_mult[t] = orig_mult.get(t, 0) + 1
+        in_q = {t for t in terms if t in original_query}
         # flatten block metadata across the query's terms
         t_idx, row_idx, mins, maxs, ubs = [], [], [], [], []
         per_term = {}
@@ -144,34 +174,64 @@ def _phase1_kernel(
                 if z > a:
                     ub_full[i] += tubs[a:z].max()
 
-        def score_docnos(block_positions, restrict=None, killed=None):
-            """Decode the given blocks, sum w·partial per docno."""
-            parts_d, parts_s = [], []
+        def score_docnos(block_positions, restrict=None, killed=None, with_bounds=False):
+            """Decode the given blocks, sum w·partial per docno. With
+            ``with_bounds``, also accumulate the per-doc flag sums feeding
+            the boost bounds: [known_mult, present_title, present_desc,
+            present_snip, ruledout_title, ruledout_desc, ruledout_snip]."""
+            parts_d, parts_s, parts_e = [], [], []
             for bi in block_positions:
                 gpos = int(row_pos[bi])
-                d, tf, dl = decoded(gpos)
-                w = weights[terms[t_idx[bi]]]
+                d, tf, dl, fl = decoded(gpos)
+                t = terms[t_idx[bi]]
+                w = weights[t]
                 partial = ((K1 + 1.0) * tf) / (
                     K1 * (1.0 - B + B * dl / avgdl) + tf
                 )
                 parts_d.append(d)
                 parts_s.append(w * partial)
+                if with_bounds:
+                    ext = np.zeros((d.size, 7))
+                    if fl is not None:
+                        known = (fl & 8) == 0  # FLAG_UNKNOWN sentinel
+                        b_t = ((fl & 1) > 0) & known
+                        b_d = ((fl & 2) > 0) & known
+                        b_s = ((fl & 4) > 0) & known
+                        m_o = orig_mult.get(t, 0)
+                        if m_o:
+                            ext[:, 0] = m_o * known
+                            ext[:, 1] = m_o * b_t
+                            ext[:, 2] = m_o * b_d
+                            ext[:, 3] = m_o * b_s
+                        if t in in_q:
+                            # term ⊆ query ∧ field ⊉ term ⇒ field ⊉ query
+                            ext[:, 4] = known & ~b_t
+                            ext[:, 5] = known & ~b_d
+                            ext[:, 6] = known & ~b_s
+                    parts_e.append(ext)
             if not parts_d:
-                return np.empty(0, np.int64), np.empty(0)
+                e = np.empty(0, np.int64), np.empty(0)
+                return (*e, np.empty((0, 7))) if with_bounds else e
             dd = np.concatenate(parts_d)
             ss = np.concatenate(parts_s)
+            ee = np.concatenate(parts_e) if with_bounds else None
             if restrict is not None:
                 m = np.isin(dd, restrict)
                 dd, ss = dd[m], ss[m]
+                ee = ee[m] if with_bounds else None
             if killed is not None and killed.size:
                 m = ~np.isin(dd, killed)
                 dd, ss = dd[m], ss[m]
+                ee = ee[m] if with_bounds else None
             if dd.size == 0:
-                return dd, ss
+                return (dd, ss, ee) if with_bounds else (dd, ss)
             order = np.argsort(dd, kind="stable")
             dd, ss = dd[order], ss[order]
             uniq, starts = np.unique(dd, return_index=True)
             sums = np.add.reduceat(ss, starts)
+            if with_bounds:
+                esums = np.add.reduceat(ee[order], starts, axis=0)
+                return uniq, sums, esums
             return uniq, sums
 
         theta = 0.0
@@ -201,14 +261,52 @@ def _phase1_kernel(
             if dropped.size
             else np.empty(0, np.int64)
         )
-        du, su = score_docnos(kept, killed=killed)
+        du, su, eu = score_docnos(kept, killed=killed, with_bounds=True)
         if du.size == 0:
             continue
-        # candidate emission: only docs within MAX_BOOST of the
-        # shard's kth-largest raw can reach the shard top-k boosted
+        # candidate emission under per-doc boost bounds (module doc): emit d
+        # iff raw·UB(d) ≥ kth-largest raw·LB in the shard. UB/LB collapse to
+        # MAX_BOOST/1 when the index carries no flag stream.
         if su.size > k:
-            theta_k = float(np.partition(su, -k)[-k])
-            keep = su * MAX_BOOST >= theta_k
+            kt, p_t, p_d, p_s, qa_t, qa_d, qa_s = eu.T
+            if n_orig > 0:
+                unknown = n_orig - kt
+                ub_t, ub_d, ub_s = p_t + unknown, p_d + unknown, p_s + unknown
+                tfac_ub = np.where(
+                    ub_t > 0, 1.0 + TITLE_MATCH_BOOST * ub_t / n_orig, 1.0
+                )
+                tfac_lb = np.where(
+                    p_t > 0, 1.0 + TITLE_MATCH_BOOST * p_t / n_orig, 1.0
+                )
+                dfac_ub = np.where(
+                    ub_d > 0, 1.0 + DESC_MATCH_BOOST * ub_d / n_orig, 1.0
+                )
+                dfac_lb = np.where(
+                    p_d > 0, 1.0 + DESC_MATCH_BOOST * p_d / n_orig, 1.0
+                )
+                prox_ub = np.where(
+                    (n_orig > 1) & (ub_s >= n_orig), PROXIMITY_BOOST, 1.0
+                )
+                prox_lb = np.where(
+                    (n_orig > 1) & (p_s >= n_orig), PROXIMITY_BOOST, 1.0
+                )
+            else:
+                tfac_ub = tfac_lb = dfac_ub = dfac_lb = prox_ub = prox_lb = (
+                    np.ones(su.size)
+                )
+            ph_ub = np.where(
+                qa_t == 0,
+                TITLE_PHRASE_BOOST,
+                np.where(
+                    qa_d == 0,
+                    DESC_PHRASE_BOOST,
+                    np.where(qa_s == 0, SNIPPET_PHRASE_BOOST, 1.0),
+                ),
+            )
+            ub = ph_ub * tfac_ub * dfac_ub * prox_ub
+            lb = tfac_lb * dfac_lb * prox_lb  # phrase lower bound is 1
+            theta_k = float(np.partition(su * lb, -k)[-k])
+            keep = su * ub >= theta_k
             du, su = du[keep], su[keep]
         out_rows.append(
             pd.DataFrame(
@@ -257,7 +355,12 @@ class WandSearchEngine:
         for qid, (term_mult, orig_tokens, original_query) in analyzed.items():
             weights = {}
             for t, m in term_mult.items():
-                if t not in idf:
+                # idf == 0 (a term in ≥ half the corpus, e.g. a generator-
+                # vocabulary word): contribution is 0 for every doc, and a
+                # doc matching only such terms scores 0 ⇒ dies at the
+                # post-normalize threshold — dropping the term is exact and
+                # skips its (enormous) posting scan entirely
+                if idf.get(t, 0.0) <= 0.0:
                     continue
                 imp = ORIGINAL_TERM_IMPORTANCE if t in orig_tokens else 1.0
                 weights[t] = idf[t] * float(m) * imp
