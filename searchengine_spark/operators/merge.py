@@ -96,6 +96,28 @@ def merge_block_segments(
 
     def regroup(pdf: pd.DataFrame) -> pd.DataFrame:
         frames = []
+        # "\x00"-prefixed pseudo-terms (the field-signature sidecar,
+        # functions/fieldsig.py) pass through VERBATIM as already-encoded
+        # block rows: their streams are not (tf, doc_len) postings, segments
+        # are doc-disjoint so per-segment rows stay valid side by side, and
+        # readers concatenate by docno. Only block_no is renumbered (docno
+        # order) for a deterministic layout.
+        out_cols = (
+            shards_mod._BLOCK_POS_COLS if with_positions else shards_mod._BLOCK_COLS
+        )
+        pseudo = pdf["term"].str.startswith("\x00")
+        passthrough = pdf[pseudo]
+        if len(passthrough):
+            passthrough = passthrough.sort_values(
+                ["shard", "term", "min_docno"], kind="stable"
+            ).copy()
+            passthrough["block_no"] = passthrough.groupby(
+                ["shard", "term"], sort=False
+            ).cumcount()
+            passthrough = passthrough[out_cols]
+            pdf = pdf[~pseudo]
+        else:
+            passthrough = None
         for (shard, term), g in pdf.groupby(["shard", "term"], sort=False):
             parts = [codec.decode_postings(r.gaps, r.tfs, r.dls) for r in g.itertuples()]
             # carry the boost-bound flag stream through the re-encode; a
@@ -125,13 +147,18 @@ def merge_block_segments(
                 cols["positions"] = plists
             frames.append(pd.DataFrame(cols))
         if not frames:
-            return pd.DataFrame(
-                columns=shards_mod._BLOCK_POS_COLS
-                if with_positions
-                else shards_mod._BLOCK_COLS
+            encoded = pd.DataFrame(columns=out_cols)
+        else:
+            flat = pd.concat(frames, ignore_index=True)
+            encoded = shards_mod.encode_blocks_pdf(
+                flat, avgdl, block_size, with_positions
             )
-        flat = pd.concat(frames, ignore_index=True)
-        return shards_mod.encode_blocks_pdf(flat, avgdl, block_size, with_positions)
+        if passthrough is not None:
+            encoded = pd.concat(
+                [encoded[out_cols] if len(encoded) else encoded, passthrough],
+                ignore_index=True,
+            )
+        return encoded
 
     # same coarse grouping as the build: (shard, term-bucket), per-term
     # split inside the kernel (see operators/shards.py)

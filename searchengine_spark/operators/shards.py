@@ -318,6 +318,69 @@ class ShardedIndex:
     with_positions: bool = False
 
 
+def fieldsig_block_rows(sig_src: DataFrame, with_positions: bool = False) -> DataFrame:
+    """Per-shard field-signature pseudo-blocks (functions/fieldsig.py).
+
+    Input: (shard, docno, title, description, content_snippet), one row per
+    doc. Output: ONE block row per shard with ``term = SIG_TERM`` holding
+    every doc's 14-uint32 Bloom signature — ``gaps`` is the standard
+    delta-gapped docno stream, ``tfs`` the doc-major interleave of the 14
+    words (32-bit values: exact through the merge path's float64-mediated
+    varint re-encode), ``dls``/``fls`` empty. The signature words are
+    computed MAP-SIDE (Arrow batch UDF) so the per-shard exchange carries
+    ~64 B/doc, not the ~350 B/doc of field text. Merged segments keep their
+    rows verbatim (operators/merge.py passes pseudo-terms through), so a
+    shard may carry several signature rows; readers concatenate by docno.
+    """
+    from searchengine_spark.functions import fieldsig
+
+    @F.pandas_udf("array<long>")
+    def words_udf(t: pd.Series, d: pd.Series, s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                fieldsig.sig_words(a, b, c).astype(np.int64).tolist()
+                for a, b, c in zip(t, d, s)
+            ]
+        )
+
+    src = sig_src.select(
+        "shard",
+        "docno",
+        words_udf("title", "description", "content_snippet").alias("sw"),
+    )
+    out_cols = _BLOCK_POS_COLS if with_positions else _BLOCK_COLS
+    schema = BLOCK_POS_SCHEMA if with_positions else BLOCK_SCHEMA
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=out_cols)
+        pdf = pdf.sort_values("docno")
+        docnos = pdf["docno"].to_numpy(dtype=np.uint64)
+        gaps = np.empty_like(docnos)
+        gaps[0] = docnos[0]
+        np.subtract(docnos[1:], docnos[:-1], out=gaps[1:])
+        words = np.stack(pdf["sw"].to_numpy()).astype(np.uint64)
+        row = {
+            "shard": [int(pdf["shard"].iloc[0])],
+            "term": [fieldsig.SIG_TERM],
+            "block_no": [0],
+            "n": [len(pdf)],
+            "min_docno": [int(docnos[0])],
+            "max_docno": [int(docnos[-1])],
+            "max_partial": [0.0],
+            "gaps": [codec.varint_encode(gaps)],
+            "tfs": [codec.varint_encode(words.ravel())],
+            "dls": [b""],
+            "fls": [b""],
+        }
+        if with_positions:
+            row["pcounts"] = [b""]
+            row["pgaps"] = [b""]
+        return pd.DataFrame(row, columns=out_cols)
+
+    return src.groupBy("shard").applyInPandas(build, schema)
+
+
 def build_sharded_index(
     spark: SparkSession,
     tables: IndexTables,
@@ -401,6 +464,14 @@ def build_sharded_index(
             "description",
             "content_snippet",
             "doc_len",
+        )
+    )
+
+    # field-signature sidecar rows ride with the blocks (co-partitioned by
+    # shard; see fieldsig_block_rows) — WAND's emission bounds read them
+    blocks = blocks.unionByName(
+        fieldsig_block_rows(
+            docs.select("shard", "docno", "title", "description", "content_snippet")
         )
     )
 
@@ -529,7 +600,7 @@ def shard_and_write_from_tokenized(
         "shard", "docno", "doc_len", *_lowered_fields(),
         F.explode("tf_terms").alias("tw"),
     ).select(*posting_cols)
-    (
+    encoded = (
         exploded.withColumn("_tb", F.pmod(F.xxhash64("term"), F.lit(TERM_BUCKETS)))
         .groupBy("shard", "_tb")
         .applyInPandas(
@@ -538,6 +609,16 @@ def shard_and_write_from_tokenized(
             ),
             BLOCK_POS_SCHEMA if with_positions else BLOCK_SCHEMA,
         )
+    )
+    # field-signature sidecar (one pseudo-term row per shard; see
+    # fieldsig_block_rows) unions into the same write — sig words are
+    # computed map-side, so the extra exchange is ~64 B/doc
+    sig_rows = fieldsig_block_rows(
+        tk.select("shard", "docno", "title", "description", "content_snippet"),
+        with_positions,
+    )
+    (
+        encoded.unionByName(sig_rows)
         .sortWithinPartitions("term", "shard", "block_no")
         .write.mode("overwrite")
         .parquet(f"{path}/blocks")
@@ -556,7 +637,10 @@ def shard_and_write_from_tokenized(
 
     blocks = spark.read.parquet(f"{path}/blocks")
     (
-        blocks.groupBy("term")
+        # "\x00"-prefixed pseudo-terms (field-signature sidecar rows) are
+        # not postings — they must not surface as vocabulary terms
+        blocks.filter(~F.col("term").startswith("\x00"))
+        .groupBy("term")
         .agg(F.sum("n").cast("long").alias("df"))
         .select(
             "term",
@@ -640,6 +724,8 @@ def decode_blocks_to_positional_postings(blocks_pdf: pd.DataFrame) -> pd.DataFra
     (term, docno, tf, doc_len, positions) with per-posting position lists."""
     terms, docnos, tfs, dls, poss = [], [], [], [], []
     for row in blocks_pdf.itertuples(index=False):
+        if row.term.startswith("\x00"):
+            continue  # field-signature sidecar rows are not postings
         d, t, dl = codec.decode_postings(row.gaps, row.tfs, row.dls)
         counts, flat = codec.decode_positions(row.pcounts, row.pgaps)
         terms.extend([row.term] * len(d))
@@ -664,9 +750,13 @@ def decode_blocks_to_positional_postings(blocks_pdf: pd.DataFrame) -> pd.DataFra
 
 def decode_blocks_to_postings(blocks_pdf: pd.DataFrame) -> pd.DataFrame:
     """Test/verification helper: block rows → flat (term, docno, tf, doc_len).
-    Used by the shard-invariance property test (n_shards=1 ≡ n_shards=16)."""
+    Used by the shard-invariance property test (n_shards=1 ≡ n_shards=16).
+    "\\x00"-prefixed pseudo-terms (field-signature sidecar) are not postings
+    and are skipped."""
     terms, docnos, tfs, dls = [], [], [], []
     for row in blocks_pdf.itertuples(index=False):
+        if row.term.startswith("\x00"):
+            continue
         d, t, dl = codec.decode_postings(row.gaps, row.tfs, row.dls)
         terms.extend([row.term] * len(d))
         docnos.append(d.astype(np.int64))
@@ -695,7 +785,9 @@ def term_skew_report(index: ShardedIndex, top_n: int = 20) -> DataFrame:
     term-partitioned layout would show skew = n_shards. This is the
     metric-driven check SURVEY §7 calls for, computable from block metadata
     alone (Σ n per (shard, term)) — no posting decode, no extra state."""
-    per_shard = index.blocks.groupBy("term", "shard").agg(
+    per_shard = index.blocks.filter(
+        ~F.col("term").startswith("\x00")  # skip field-signature sidecar rows
+    ).groupBy("term", "shard").agg(
         F.sum("n").cast("long").alias("postings")
     )
     agg = per_shard.groupBy("term").agg(
@@ -737,7 +829,9 @@ def export_index(spark: SparkSession, index: ShardedIndex) -> "IndexTables":
         for pdf in batches:
             yield decode_blocks_to_postings(pdf)
 
-    decoded = index.blocks.select("term", "gaps", "tfs", "dls").mapInPandas(
+    decoded = index.blocks.filter(
+        ~F.col("term").startswith("\x00")  # field-signature rows are not postings
+    ).select("term", "gaps", "tfs", "dls").mapInPandas(
         decode, "term string, docno long, tf double, doc_len double"
     )
     mapping = index.docs.select("docno", "doc_id")

@@ -311,6 +311,79 @@ SELECT doc_id,
 FROM raw"""
 
 
+def q_repetition_scores(spark, sf_dir) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): the share
+    of all n-gram occurrences taken by the doc's single most frequent
+    n-gram, for n = 1, 2, 3. High shares flag boilerplate / template /
+    keyword-stuffed pages that should be dropped from a training corpus.
+
+    Scale design: every metric is computed WITHIN the row via higher-order
+    array functions (transform / filter / array_max) — the plan is map-only
+    with zero shuffles, so it runs at parquet-scan speed on any corpus
+    size. Per-row cost is O(distinct-grams x grams), bounded by page
+    length, not corpus size.
+    """
+    d = _documents(spark, sf_dir)
+    raw = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: F.length(t) >= 1)
+    d = d.select("doc_id", raw.alias("g1"))
+    # n-grams via index transforms; CASE guards because sequence(1, 0)
+    # ramps DOWN in Spark rather than returning an empty array
+    d = d.withColumn(
+        "g2",
+        F.expr(
+            "CASE WHEN size(g1) >= 2 THEN transform(sequence(0, size(g1)-2),"
+            " i -> concat(g1[i], ' ', g1[i+1])) ELSE array() END"
+        ),
+    ).withColumn(
+        "g3",
+        F.expr(
+            "CASE WHEN size(g1) >= 3 THEN transform(sequence(0, size(g1)-3),"
+            " i -> concat(g1[i], ' ', g1[i+1], ' ', g1[i+2])) ELSE array() END"
+        ),
+    )
+
+    def share(col: str):
+        mode = F.expr(
+            f"array_max(transform(array_distinct({col}),"
+            f" x -> size(filter({col}, y -> y = x))))"
+        )
+        denom = F.when(F.size(col) > 0, F.size(col).cast("double"))
+        return F.round(mode.cast("double") / denom, 6)
+
+    return d.select(
+        "doc_id",
+        F.size("g1").cast("long").alias("n_tokens"),
+        share("g1").alias("top1_share"),
+        share("g2").alias("top2_share"),
+        share("g3").alias("top3_share"),
+    )
+
+
+SQL_REPETITION_SCORES = """WITH g AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> length(t) >= 1) AS g1
+  FROM documents),
+gg AS (
+  SELECT doc_id, g1,
+         list_transform(range(1, len(g1)), i -> g1[i] || ' ' || g1[i+1]) AS g2,
+         list_transform(range(1, len(g1)-1),
+                        i -> g1[i] || ' ' || g1[i+1] || ' ' || g1[i+2]) AS g3
+  FROM g)
+SELECT doc_id,
+  CAST(len(g1) AS BIGINT) AS n_tokens,
+  ROUND(CAST(list_max(list_transform(list_distinct(g1),
+        x -> len(list_filter(g1, y -> y = x)))) AS DOUBLE)
+        / NULLIF(len(g1), 0), 6) AS top1_share,
+  ROUND(CAST(list_max(list_transform(list_distinct(g2),
+        x -> len(list_filter(g2, y -> y = x)))) AS DOUBLE)
+        / NULLIF(len(g2), 0), 6) AS top2_share,
+  ROUND(CAST(list_max(list_transform(list_distinct(g3),
+        x -> len(list_filter(g3, y -> y = x)))) AS DOUBLE)
+        / NULLIF(len(g3), 0), 6) AS top3_share
+FROM gg"""
+
+
 # ---------------------------------------------------------------- near-dup: n-gram jaccard
 def q_jaccard_adjacent(spark, sf_dir) -> DataFrame:
     s = _toks(spark, sf_dir).select("doc_id", F.array_distinct("toks").alias("ts"))
@@ -1049,6 +1122,7 @@ QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "lang_dist": q_lang_dist,
     "quality_scores": q_quality_scores,
+    "repetition_scores": q_repetition_scores,
     "jaccard_adjacent": q_jaccard_adjacent,
     "embedding_topk": q_embedding_topk,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1080,6 +1154,7 @@ ORACLE_SQL = {
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "lang_dist": SQL_LANG_DIST,
     "quality_scores": SQL_QUALITY_SCORES,
+    "repetition_scores": SQL_REPETITION_SCORES,
     "jaccard_adjacent": SQL_JACCARD_ADJACENT,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,

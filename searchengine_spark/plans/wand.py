@@ -49,13 +49,18 @@ Exactness argument (property-tested against the exhaustive engine):
     the query with field bit 0 does: field ⊉ t ⇒ field ⊉ query. The phrase
     factor upper bound walks the exclusive chain over fields not so ruled
     out; its lower bound is 1;
+  - tokens with NO postings in the shard (stopwords and OOV words have
+    none anywhere) carry no flags; the per-doc field Bloom signatures
+    (functions/fieldsig.py — a ~35 B/doc pseudo-term sidecar inside the
+    blocks table, one-sided: proves absence, never presence) resolve most
+    of them per doc, shrinking the unknown set and ruling phrases out;
   - emit d iff ``raw(d)·UBboost(d) ≥ θ_k`` where θ_k is the shard's
     kth-largest ``raw·LBboost``: a dropped d has boosted(d) ≤ raw·UBboost
     < θ_k ≤ kth-largest boosted in the shard, so ≥ k shard-mates beat it.
-    For the bulk of the corpus (all matched tokens flagged 0, stems ⊆
-    query) UBboost collapses to 1.0 and emission approaches the exact
-    per-shard top-k; an index without the flag stream falls back to the
-    global MAX_BOOST margin, which is still exact.
+    For the bulk of the corpus (matched tokens flagged 0, free tokens
+    Bloom-absent) UBboost collapses to 1.0 and emission approaches the
+    exact per-shard top-k; an index without the flag/signature streams
+    falls back to the global MAX_BOOST margin, which is still exact.
 
 Everything inside the kernel is numpy/pandas over Arrow batches
 (``applyInPandas`` by shard); decode is the vectorized varint codec. The
@@ -82,6 +87,7 @@ from searchengine_spark.config import (
     TITLE_MATCH_BOOST,
     TITLE_PHRASE_BOOST,
 )
+from searchengine_spark.functions import fieldsig
 from searchengine_spark.operators import codec
 from searchengine_spark.plans.bm25 import analyze_query, boost_chain_expr
 
@@ -122,10 +128,43 @@ def _phase1_kernel(
             decode_cache[i] = (d.astype(np.int64), t, dl, fl)
         return decode_cache[i]
 
+    # field-signature sidecar rows (functions/fieldsig.py): pseudo-term
+    # rows carrying each doc's per-field Bloom words. Decoded lazily — only
+    # a query whose emission bounds need them (unresolvable orig tokens,
+    # su.size > k) pays the decode, once per shard per batch.
+    pseudo_mask = blocks_pdf["term"].str.startswith("\x00")
+    sig_rows = blocks_pdf[blocks_pdf["term"] == fieldsig.SIG_TERM]
+    if pseudo_mask.any():
+        blocks_pdf = blocks_pdf[~pseudo_mask].reset_index(drop=True)
+    sig_cache: list = []  # [(docnos, words)] once decoded
+
+    def sig_data():
+        """(sorted docnos, (n, SIG_WORDS) uint32 words) or None."""
+        if not sig_cache:
+            if len(sig_rows) == 0:
+                sig_cache.append(None)
+            else:
+                ds, ws = [], []
+                for r in sig_rows.itertuples():
+                    d = np.cumsum(codec.varint_decode(r.gaps), dtype=np.uint64)
+                    w = codec.varint_decode(r.tfs)
+                    if w.size != d.size * fieldsig.SIG_WORDS:
+                        continue  # foreign layout — treat as absent sidecar
+                    ds.append(d.astype(np.int64))
+                    ws.append(w.reshape(-1, fieldsig.SIG_WORDS).astype(np.uint32))
+                if not ds:
+                    sig_cache.append(None)
+                else:
+                    dcat = np.concatenate(ds)
+                    wcat = np.concatenate(ws)
+                    order = np.argsort(dcat, kind="stable")
+                    sig_cache.append((dcat[order], wcat[order]))
+        return sig_cache[0]
+
     by_term = {t: g for t, g in blocks_pdf.groupby("term")}
     out_rows = []
 
-    for qid, weights, orig_tokens, original_query in qinfo:
+    for qid, weights, aux_terms, orig_tokens, original_query in qinfo:
         terms = [t for t in weights if t in by_term]
         if not terms:
             continue
@@ -268,10 +307,87 @@ def _phase1_kernel(
         # iff raw·UB(d) ≥ kth-largest raw·LB in the shard. UB/LB collapse to
         # MAX_BOOST/1 when the index carries no flag stream.
         if su.size > k:
+            # bounds-only aux terms: the query's idf<=0 terms were dropped
+            # from scoring (their contribution is 0), but their posting
+            # FLAGS still resolve those orig tokens' field presence exactly
+            # for every candidate that contains the term — and idf<=0 means
+            # more than half the corpus does. One extra posting-list decode
+            # per dropped term per shard (same unit cost as a scored term);
+            # on tie-heavy corpora this is what collapses the emission
+            # margin, because unknown-token slack is what keeps UB > 1.
+            for t in aux_terms:
+                if t not in by_term:
+                    continue
+                m_o = orig_mult.get(t, 0)
+                t_in_q = t in original_query
+                if not m_o and not t_in_q:
+                    continue
+                for ri in by_term[t].index:
+                    d, _tf, _dl, fl = decoded(int(ri))
+                    if fl is None:
+                        continue
+                    pos = np.searchsorted(du, d)
+                    ok = pos < du.size
+                    pos_ok = pos[ok]
+                    hit = du[pos_ok] == d[ok]
+                    idx = pos_ok[hit]
+                    if idx.size == 0:
+                        continue
+                    flh = fl[ok][hit]
+                    known = (flh & 8) == 0
+                    b_t = ((flh & 1) > 0) & known
+                    b_d = ((flh & 2) > 0) & known
+                    b_s = ((flh & 4) > 0) & known
+                    if m_o:
+                        eu[idx, 0] += m_o * known
+                        eu[idx, 1] += m_o * b_t
+                        eu[idx, 2] += m_o * b_d
+                        eu[idx, 3] += m_o * b_s
+                    if t_in_q:
+                        eu[idx, 4] += known & ~b_t
+                        eu[idx, 5] += known & ~b_d
+                        eu[idx, 6] += known & ~b_s
+            # field-signature Bloom pass for FREE orig tokens — those with
+            # no posting rows in this shard (stopwords and OOV words have
+            # none anywhere; a scored/aux term can be absent shard-locally).
+            # The filter proves per-doc per-field ABSENCE (never presence):
+            # absent tightens the ub and, for tokens that are substrings of
+            # the query (an orig token need not be — Porter can rewrite),
+            # rules the field's phrase boost out. Disjoint from the flag
+            # sums by construction: a free token contributed nothing to eu.
             kt, p_t, p_d, p_s, qa_t, qa_d, qa_s = eu.T
+            abs_t = np.zeros(du.size)
+            abs_d = np.zeros(du.size)
+            abs_s = np.zeros(du.size)
+            free = [
+                (o, m) for o, m in orig_mult.items() if o not in by_term
+            ] if n_orig > 0 else []
+            if free:
+                sd = sig_data()
+                if sd is not None:
+                    sdoc, swords = sd
+                    pos = np.searchsorted(sdoc, du)
+                    ok = pos < sdoc.size
+                    ok[ok] &= sdoc[pos[ok]] == du[ok]
+                    W = swords[np.where(ok, pos, 0)]
+                    for o, m in free:
+                        probes = fieldsig.token_bits(o)
+                        if probes is None:
+                            continue  # < 3 bytes: filter cannot speak
+                        o_in_q = o in original_query
+                        for field, acc, qa in (
+                            ("title", abs_t, qa_t),
+                            ("description", abs_d, qa_d),
+                            ("snippet", abs_s, qa_s),
+                        ):
+                            absent = fieldsig.absent_mask(W, field, probes) & ok
+                            acc += m * absent
+                            if o_in_q:
+                                qa += absent
             if n_orig > 0:
-                unknown = n_orig - kt
-                ub_t, ub_d, ub_s = p_t + unknown, p_d + unknown, p_s + unknown
+                ub_t = p_t + np.maximum(n_orig - kt - abs_t, 0.0)
+                ub_d = p_d + np.maximum(n_orig - kt - abs_d, 0.0)
+                ub_s = p_s + np.maximum(n_orig - kt - abs_s, 0.0)
                 tfac_ub = np.where(
                     ub_t > 0, 1.0 + TITLE_MATCH_BOOST * ub_t / n_orig, 1.0
                 )
@@ -354,19 +470,28 @@ class WandSearchEngine:
         qinfo = []
         for qid, (term_mult, orig_tokens, original_query) in analyzed.items():
             weights = {}
+            aux = []
             for t, m in term_mult.items():
                 # idf == 0 (a term in ≥ half the corpus, e.g. a generator-
                 # vocabulary word): contribution is 0 for every doc, and a
                 # doc matching only such terms scores 0 ⇒ dies at the
                 # post-normalize threshold — dropping the term is exact and
-                # skips its (enormous) posting scan entirely
+                # skips its (enormous) posting scan entirely. It is kept as
+                # a BOUNDS-ONLY term when its flags can inform the emission
+                # bounds (it is an orig token, or a query substring): the
+                # kernel decodes its postings for flag bits, never scores.
                 if idf.get(t, 0.0) <= 0.0:
+                    if t in idf and (t in orig_tokens or t in original_query):
+                        aux.append(t)
                     continue
                 imp = ORIGINAL_TERM_IMPORTANCE if t in orig_tokens else 1.0
                 weights[t] = idf[t] * float(m) * imp
             if weights:
-                qinfo.append((qid, weights, orig_tokens, original_query))
-        return qinfo, sorted({t for _, w, _, _ in qinfo for t in w})
+                qinfo.append((qid, weights, aux, orig_tokens, original_query))
+        return qinfo, sorted(
+            {t for _, w, _, _, _ in qinfo for t in w}
+            | {t for _, _, a, _, _ in qinfo for t in a}
+        )
 
     def _candidates(self, qinfo, term_list, top_k: int, prune: bool) -> DataFrame:
         """Phase 1: per-shard block-max WAND over posting blocks only →
@@ -383,8 +508,11 @@ class WandSearchEngine:
         # pgaps) when scoring a positional index — BM25 never needs them
         from searchengine_spark.operators.shards import _BLOCK_COLS
 
+        # the field-signature pseudo-term joins the IN-list so each shard's
+        # kernel can prove free-token absence (emission bounds); its rows
+        # are a ~35 B/doc sidecar scanned alongside the matched postings
         blocks = self.index.blocks.select(*_BLOCK_COLS).filter(
-            F.col("term").isin(term_list)
+            F.col("term").isin(list(term_list) + [fieldsig.SIG_TERM])
         )
         return blocks.groupby("shard").applyInPandas(kernel, _CAND_SCHEMA)
 
@@ -397,8 +525,20 @@ class WandSearchEngine:
         prune: bool = True,
     ) -> DataFrame | None:
         qinfo, term_list = self._analyze(queries, stopwords)
+        if qinfo is None:
+            return None  # no analyzable query (empty / stopword-only)
         if not qinfo:
-            return None
+            # analyzable queries whose every term has idf <= 0: every match
+            # scores 0 and dies at the threshold — exact result is ZERO ROWS
+            # (the exhaustive engine returns an empty frame here, not None)
+            schema = (
+                "query_id int, rank int, doc_id string, url string, "
+                "title string, description string, content_snippet string, "
+                "score double"
+                if with_metadata
+                else "query_id int, rank int, doc_id string, score double"
+            )
+            return self.spark.createDataFrame([], schema)
         candidates = self._candidates(qinfo, term_list, top_k, prune)
 
         # ---- phase 2: metadata for SURVIVORS only ------------------------
@@ -408,7 +548,7 @@ class WandSearchEngine:
         # shared boost chain, per-query max-normalize (Q6), threshold (F12),
         # top-k (Q7).
         qmeta = self.spark.createDataFrame(
-            [(qid, oq, toks) for qid, _, toks, oq in qinfo],
+            [(qid, oq, toks) for qid, _, _, toks, oq in qinfo],
             "query_id int, original_query string, orig_tokens array<string>",
         )
         docs_side = self.index.docs.select(
@@ -421,14 +561,15 @@ class WandSearchEngine:
             .withColumn("score", F.col("raw"))
         )
         # Metadata is CONSUMED at the scan site by the boost expression;
-        # only (query_id, doc_id, score) flows into the normalize/top-k
-        # exchange. On a tie-heavy corpus the candidate set can approach
-        # the match set, so keeping the windowed rows narrow (~40 B vs
-        # ~400 B with metadata) is what keeps the exchange cheap; winners
-        # re-fetch their metadata below via a second ≤k·|batch|-row
-        # broadcast probe of the docs store.
+        # only (query_id, shard, docno, doc_id, score) flows into the
+        # normalize/top-k exchange. On a tie-heavy corpus the candidate set
+        # can approach the match set, so keeping the windowed rows narrow
+        # (~50 B vs ~400 B with metadata) is what keeps the exchange cheap;
+        # winners re-fetch their metadata below via a PRUNED ≤k·|batch|-row
+        # probe of the docs store.
         boosted = joined.select(
-            "query_id", "doc_id", boost_chain_expr().alias("score")
+            "query_id", "shard", "docno", "doc_id",
+            boost_chain_expr().alias("score"),
         )
 
         w = Window.partitionBy("query_id")
@@ -446,7 +587,7 @@ class WandSearchEngine:
         if not with_metadata:
             return out.select("query_id", "rank", "doc_id", "score")
 
-        orig_tokens_by_qid = {qid: toks for qid, _, toks, _ in qinfo}
+        orig_tokens_by_qid = {qid: toks for qid, _, _, toks, _ in qinfo}
 
         @F.pandas_udf("string")
         def snippet_udf(qid: pd.Series, content: pd.Series) -> pd.Series:
@@ -459,12 +600,35 @@ class WandSearchEngine:
                 ]
             )
 
-        # winners-only metadata fetch: broadcast the ≤ top_k·|batch| ranked
-        # rows against the docs store (map-side probe, no docs exchange)
-        meta = self.index.docs.select(
-            "doc_id", "url", "title", "description", "content_snippet"
+        # winners-only metadata fetch: the ranked set is ≤ top_k·|batch|
+        # rows, so collect it (tiny — the same cardinality the caller will
+        # collect) and re-probe the docs store with DRIVER-KNOWN keys: the
+        # shard IN-list prunes whole shard files and the docno range/IN-list
+        # prunes row groups of the docno-sorted layout at the parquet scan —
+        # the winner fetch touches a few row groups, not the corpus, and no
+        # doc metadata ever enters an exchange.
+        winners = out.select(
+            "query_id", "rank", "shard", "docno", "doc_id", "score"
+        ).collect()
+        winners_df = self.spark.createDataFrame(
+            [(r["query_id"], r["rank"], r["shard"], r["docno"], r["score"])
+             for r in winners] or [],
+            "query_id int, rank int, shard int, docno long, score double",
         )
-        return meta.join(F.broadcast(out), "doc_id").select(
+        meta = self.index.docs.select(
+            "shard", "docno", "doc_id", "url", "title", "description",
+            "content_snippet",
+        )
+        if winners:
+            shard_list = sorted({r["shard"] for r in winners})
+            docnos = sorted({r["docno"] for r in winners})
+            meta = meta.filter(
+                F.col("shard").isin(shard_list)
+                & F.col("docno").between(docnos[0], docnos[-1])
+            )
+            if len(docnos) <= 2048:  # keep the pushed IN-list bounded
+                meta = meta.filter(F.col("docno").isin(docnos))
+        return meta.join(F.broadcast(winners_df), ["shard", "docno"]).select(
             "query_id",
             "rank",
             "doc_id",

@@ -132,6 +132,42 @@ def test_exclusive_chain_desc_phrase(spark):
     assert len(res) == 3
 
 
+def test_free_token_cross_boundary_substring_kept(spark):
+    # "smartly" stems to a token with no postings for most docs, and the
+    # boost chain tests SUBSTRING containment: "smart" ⊂ "smartest ideas"
+    # crosses no token boundary but "art" ⊂ "smartest" does. The Bloom
+    # sidecar may only prove absence — a doc whose title contains the free
+    # token as a cross-boundary substring must keep its title-match boost.
+    from searchengine_spark.functions import textproc
+
+    q = "art nivu"
+    toks = textproc.tokenize(q)
+    assert "art" in toks
+    filler = [
+        _page(
+            f"https://site{i}.example/f",
+            "plain notes",
+            "",
+            f"ordinary filler {'pad ' * (i + 1)}",
+        )
+        for i in range(12)
+    ]
+    pages = filler + [
+        # "art" appears ONLY inside "smartest" — cross-boundary substring;
+        # "art" has no posting for this doc, so only the Bloom path sees it
+        _page(
+            "https://a.example/x",
+            "smartest ideas",
+            "",
+            "nivu appears here once",
+        ),
+        _page("https://b.example/y", "other page", "", "nivu nivu text body"),
+        _page("https://c.example/z", "more words", "", "nivu something else"),
+    ]
+    res = _rank_identity(spark, pages, [(0, q)], k=2)
+    assert len(res) == 2
+
+
 def test_emission_bounds_match_on_reference_queries(spark):
     # broader randomized-ish sweep: the generated corpus at tiny k with one
     # shard maximizes emission pressure (su.size >> k) across 21 queries
