@@ -54,41 +54,87 @@ FIELD_SLICES = {
     "snippet": (SIG_WORDS_TITLE + SIG_WORDS_DESC, SIG_WORDS),
 }
 
-_MULT = np.uint64(2654435761)  # Knuth multiplicative-hash constant (public)
+_MULT = np.uint32(2654435761)  # Knuth multiplicative-hash constant (public)
 
 
 def _gram_hashes(data: bytes) -> np.ndarray:
-    """64-bit hashes of every 3-byte window of ``data`` (vectorized)."""
-    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    """32-bit hashes of every 3-byte window of ``data`` (vectorized;
+    uint32 wraps mod 2^32 — deterministic across build and query side)."""
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint32)
     if b.size < 3:
-        return np.empty(0, dtype=np.uint64)
-    h = (b[:-2] * np.uint64(131071) + b[1:-1] * np.uint64(8191) + b[2:]) * _MULT
-    return h
+        return np.empty(0, dtype=np.uint32)
+    return (b[:-2] * np.uint32(131071) + b[1:-1] * np.uint32(8191) + b[2:]) * _MULT
 
 
-def _set_bits(words: np.ndarray, hashes: np.ndarray, n_words: int) -> None:
-    """OR each hash's bit into ``words`` (uint32[n_words]), in place."""
-    if hashes.size == 0:
+def _field_batch_bits(
+    texts, n_words: int, out: np.ndarray, col_offset: int
+) -> None:
+    """OR every doc's field-gram bits into ``out[:, col_offset:+n_words]``.
+
+    Fully batch-vectorized — ONE hash pass over the concatenated field
+    bytes and ONE sort + ``bitwise_or.reduceat`` scatter for the whole
+    Arrow batch. (A per-doc ``np.bitwise_or.at`` loop costs hundreds of µs
+    per doc from unbuffered-ufunc overhead — at 10^6 docs that is minutes
+    of tokenize-stage CPU; this path is ~100× cheaper.)"""
+    # Concatenate with a 2-byte NUL separator per doc: hash EVERY window of
+    # the concatenation (no per-doc index construction, no fancy-index
+    # gather) and zero the mask of any window touching a NUL. A zero mask
+    # ORs nothing, so separator windows are inert; and since a query token
+    # never contains NUL, every one of its grams inside a real field still
+    # sets its bit — one-sidedness (absence-proof soundness) is preserved
+    # even for pathological fields that embed NUL bytes.
+    # isinstance guard: pandas delivers missing strings as float NaN
+    bufs = [
+        t.lower().encode("utf-8") if isinstance(t, str) and t else b""
+        for t in texts
+    ]
+    cat = b"".join(b + b"\x00\x00" for b in bufs)
+    if len(cat) < 3:
         return
-    bits = hashes % np.uint64(32 * n_words)
-    w = (bits // np.uint64(32)).astype(np.int64)
-    masks = (np.uint32(1) << (bits % np.uint64(32)).astype(np.uint32)).astype(np.uint32)
-    np.bitwise_or.at(words, w, masks)
+    counts = np.array([len(b) + 2 for b in bufs], dtype=np.int64)
+    counts[-1] -= 2  # the final separator has no trailing windows
+    b8 = np.frombuffer(cat, dtype=np.uint8)
+    b0, b1, b2 = b8[:-2], b8[1:-1], b8[2:]
+    h = (
+        b0.astype(np.uint32) * np.uint32(131071)
+        + b1 * np.uint32(8191)
+        + b2
+    ) * _MULT
+    bits = h & np.uint32(32 * n_words - 1)  # widths are powers of two
+    w = (bits >> np.uint32(5)).astype(np.int64)
+    masks = (np.uint32(1) << (bits & np.uint32(31))).astype(np.uint32)
+    masks[(b0 == 0) | (b1 == 0) | (b2 == 0)] = 0
+    doc_idx = np.repeat(np.arange(len(bufs), dtype=np.int64), counts)
+    # doc_idx is already sorted; a boolean-selected subsequence stays
+    # sorted, so each word column reduces with ONE reduceat — no global
+    # argsort. n_words ≤ 8 passes of vectorized selects beat an
+    # O(m log m) sort on the full gram stream.
+    for j in range(n_words):
+        sel = w == j
+        if not sel.any():
+            continue
+        d_sel = doc_idx[sel]
+        m_sel = masks[sel]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(d_sel)) + 1))
+        ors = np.bitwise_or.reduceat(m_sel, starts)
+        out[d_sel[starts], col_offset + j] |= ors
+
+
+def sig_words_batch(titles, descs, snippets) -> np.ndarray:
+    """(n, SIG_WORDS) uint32 signature matrix for a batch of docs. Fields
+    are lowercased here — the same normalization the boost chain applies
+    (bm25.boost_chain_expr); None ≡ empty ≡ all-absent."""
+    n = len(titles)
+    out = np.zeros((n, SIG_WORDS), dtype=np.uint32)
+    for texts, field in ((titles, "title"), (descs, "description"), (snippets, "snippet")):
+        a, z = FIELD_SLICES[field]
+        _field_batch_bits(texts, z - a, out, a)
+    return out
 
 
 def sig_words(title: str | None, desc: str | None, snippet: str | None) -> np.ndarray:
-    """One doc's 14-word signature vector (uint32) from its three fields.
-    Fields are lowercased here — the same normalization the boost chain
-    applies (bm25.boost_chain_expr); None ≡ empty ≡ all-absent."""
-    out = np.zeros(SIG_WORDS, dtype=np.uint32)
-    for text, (a, z) in (
-        (title, FIELD_SLICES["title"]),
-        (desc, FIELD_SLICES["description"]),
-        (snippet, FIELD_SLICES["snippet"]),
-    ):
-        if text:
-            _set_bits(out[a:z], _gram_hashes(text.lower().encode("utf-8")), z - a)
-    return out
+    """One doc's signature vector (batch-of-one convenience wrapper)."""
+    return sig_words_batch([title], [desc], [snippet])[0]
 
 
 def token_bits(token: str) -> dict[str, list[tuple[int, np.uint32]]] | None:
@@ -102,11 +148,9 @@ def token_bits(token: str) -> dict[str, list[tuple[int, np.uint32]]] | None:
     out: dict[str, list[tuple[int, np.uint32]]] = {}
     for field, (a, z) in FIELD_SLICES.items():
         n_words = z - a
-        bits = h % np.uint64(32 * n_words)
-        w = (bits // np.uint64(32)).astype(np.int64)
-        masks = (np.uint32(1) << (bits % np.uint64(32)).astype(np.uint32)).astype(
-            np.uint32
-        )
+        bits = h & np.uint32(32 * n_words - 1)
+        w = (bits >> np.uint32(5)).astype(np.int64)
+        masks = (np.uint32(1) << (bits & np.uint32(31))).astype(np.uint32)
         # dedup (word, mask) pairs — repeated grams probe the same bit
         out[field] = sorted({(int(wi), np.uint32(m)) for wi, m in zip(w, masks)})
     return out

@@ -63,7 +63,7 @@ from searchengine_spark.config import (
     META_BOOST,
     TITLE_BOOST,
 )
-from searchengine_spark.functions import textproc
+from searchengine_spark.functions import fieldsig, textproc
 from searchengine_spark.functions.udfs import extract_fields
 
 # Hash-bucket directory layout for the plain postings table. Directory
@@ -109,6 +109,10 @@ TOKENIZED_SCHEMA = StructType(
         ),
         StructField("n_tokens", LongType()),
         StructField("doc_len", DoubleType()),
+        # per-doc field Bloom signature words (functions/fieldsig.py),
+        # computed in this same Arrow pass so the sidecar build adds no
+        # extra scan or UDF job downstream
+        StructField("fieldsig", ArrayType(LongType())),
     ]
 )
 
@@ -143,6 +147,7 @@ TOKENIZED_POS_SCHEMA = StructType(
         ),
         StructField("n_tokens", LongType()),
         StructField("doc_len", DoubleType()),
+        StructField("fieldsig", ArrayType(LongType())),
     ]
 )
 
@@ -254,8 +259,12 @@ def tokenize_documents(
                     contents.append(pdf["text"].iloc[i] or "")
                 else:
                     contents.append(textproc.extract_text_from_html(html))
+            snippets = [textproc.make_snippet(c) for c in contents]
+            sigs = fieldsig.sig_words_batch(titles, metas, snippets).astype("int64")
             rows = []
-            for url, title, meta, content in zip(pdf["url"], titles, metas, contents):
+            for i, (url, title, meta, content) in enumerate(
+                zip(pdf["url"], titles, metas, contents)
+            ):
                 tt = textproc.tokenize_filtered(title, stop)
                 mt = textproc.tokenize_filtered(meta, stop)
                 ct = textproc.tokenize_filtered(content, stop)
@@ -275,12 +284,13 @@ def tokenize_documents(
                         url,
                         title,
                         meta,
-                        textproc.make_snippet(content),
+                        snippets[i],
                         terms_col,
                         len(tt) + len(mt) + len(ct),
                         TITLE_BOOST * len(tt)
                         + META_BOOST * len(mt)
                         + CONTENT_WEIGHT * len(ct),
+                        sigs[i].tolist(),
                     )
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
@@ -366,13 +376,19 @@ def tokenize_extracted_documents(
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            snippets = [textproc.make_snippet(c or "") for c in pdf["content"]]
+            sigs = fieldsig.sig_words_batch(
+                pdf["title"].tolist(), pdf["meta_description"].tolist(), snippets
+            ).astype("int64")
             rows = []
-            for doc_id, url, title, meta, content in zip(
-                pdf["doc_id"],
-                pdf["url"],
-                pdf["title"],
-                pdf["meta_description"],
-                pdf["content"],
+            for i, (doc_id, url, title, meta, content) in enumerate(
+                zip(
+                    pdf["doc_id"],
+                    pdf["url"],
+                    pdf["title"],
+                    pdf["meta_description"],
+                    pdf["content"],
+                )
             ):
                 tt = textproc.tokenize_filtered(title or "", stop)
                 mt = textproc.tokenize_filtered(meta or "", stop)
@@ -386,12 +402,13 @@ def tokenize_extracted_documents(
                         url,
                         title or "",
                         meta or "",
-                        textproc.make_snippet(content or ""),
+                        snippets[i],
                         list(tf.items()),
                         n_toks,
                         TITLE_BOOST * len(tt)
                         + META_BOOST * len(mt)
                         + CONTENT_WEIGHT * len(ct),
+                        sigs[i].tolist(),
                     )
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in TOKENIZED_SCHEMA.fields])

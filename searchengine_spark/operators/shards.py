@@ -321,8 +321,11 @@ class ShardedIndex:
 def fieldsig_block_rows(sig_src: DataFrame, with_positions: bool = False) -> DataFrame:
     """Per-shard field-signature pseudo-blocks (functions/fieldsig.py).
 
-    Input: (shard, docno, title, description, content_snippet), one row per
-    doc. Output: ONE block row per shard with ``term = SIG_TERM`` holding
+    Input: (shard, docno, title, description, content_snippet) — or, fast
+    path, (shard, docno, fieldsig) with the words precomputed by the
+    stage-1 tokenizer (index_build.tokenize_documents) so no extra UDF pass
+    runs here. One row per doc. Output: ONE block row per shard with
+    ``term = SIG_TERM`` holding
     every doc's 14-uint32 Bloom signature — ``gaps`` is the standard
     delta-gapped docno stream, ``tfs`` the doc-major interleave of the 14
     words (32-bit values: exact through the merge path's float64-mediated
@@ -334,20 +337,21 @@ def fieldsig_block_rows(sig_src: DataFrame, with_positions: bool = False) -> Dat
     """
     from searchengine_spark.functions import fieldsig
 
-    @F.pandas_udf("array<long>")
-    def words_udf(t: pd.Series, d: pd.Series, s: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                fieldsig.sig_words(a, b, c).astype(np.int64).tolist()
-                for a, b, c in zip(t, d, s)
-            ]
-        )
+    if "fieldsig" in sig_src.columns:
+        src = sig_src.select("shard", "docno", F.col("fieldsig").alias("sw"))
+    else:
+        @F.pandas_udf("array<long>")
+        def words_udf(t: pd.Series, d: pd.Series, s: pd.Series) -> pd.Series:
+            sigs = fieldsig.sig_words_batch(
+                t.tolist(), d.tolist(), s.tolist()
+            ).astype(np.int64)
+            return pd.Series(list(sigs.tolist()))
 
-    src = sig_src.select(
-        "shard",
-        "docno",
-        words_udf("title", "description", "content_snippet").alias("sw"),
-    )
+        src = sig_src.select(
+            "shard",
+            "docno",
+            words_udf("title", "description", "content_snippet").alias("sw"),
+        )
     out_cols = _BLOCK_POS_COLS if with_positions else _BLOCK_COLS
     schema = BLOCK_POS_SCHEMA if with_positions else BLOCK_SCHEMA
 
@@ -611,12 +615,15 @@ def shard_and_write_from_tokenized(
         )
     )
     # field-signature sidecar (one pseudo-term row per shard; see
-    # fieldsig_block_rows) unions into the same write — sig words are
-    # computed map-side, so the extra exchange is ~64 B/doc
-    sig_rows = fieldsig_block_rows(
-        tk.select("shard", "docno", "title", "description", "content_snippet"),
-        with_positions,
+    # fieldsig_block_rows) unions into the same write. Words come
+    # precomputed from the stage-1 tokenize pass when available (no extra
+    # UDF job); either way the per-shard exchange carries ~64 B/doc
+    sig_cols = (
+        ["shard", "docno", "fieldsig"]
+        if "fieldsig" in tk.columns
+        else ["shard", "docno", "title", "description", "content_snippet"]
     )
+    sig_rows = fieldsig_block_rows(tk.select(*sig_cols), with_positions)
     (
         encoded.unionByName(sig_rows)
         .sortWithinPartitions("term", "shard", "block_no")

@@ -311,6 +311,48 @@ SELECT doc_id,
 FROM raw"""
 
 
+STRATA_RATE_PER_MILLE = {"en": 500}  # default stratum rate below
+STRATA_DEFAULT_RATE = 200
+
+
+def q_stratified_sample(spark, sf_dir) -> DataFrame:
+    """Deterministic stratified sampling — the standard way a training-data
+    pipeline draws a reproducible language mix from a web corpus: each doc
+    hashes to a bucket in [0, 1000) via md5(doc_id) (stable across engines,
+    runs, and cluster sizes — unlike rand() or TABLESAMPLE) and is kept iff
+    bucket < its stratum's per-mille rate. The sample is therefore a pure
+    per-row predicate: map-only, resumable, and consistent when the corpus
+    is re-partitioned or incrementally extended. Returns the per-stratum
+    audit (total vs sampled) the pipeline would log.
+    """
+    d = _documents(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    rate = F.when(
+        F.col("lang") == "en", F.lit(STRATA_RATE_PER_MILLE["en"])
+    ).otherwise(F.lit(STRATA_DEFAULT_RATE))
+    return (
+        d.withColumn("_keep", (bucket < rate).cast("int"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_keep").cast("long").alias("n_sampled"),
+        )
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN
+        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000
+        < (CASE WHEN lang = 'en' THEN 500 ELSE 200 END)
+      THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM documents GROUP BY lang"""
+
+
 def q_repetition_scores(spark, sf_dir) -> DataFrame:
     """Gopher-style repetition signals (Rae et al. 2021 §A1.1): the share
     of all n-gram occurrences taken by the doc's single most frequent
@@ -1123,6 +1165,7 @@ QUERIES = {
     "lang_dist": q_lang_dist,
     "quality_scores": q_quality_scores,
     "repetition_scores": q_repetition_scores,
+    "stratified_sample": q_stratified_sample,
     "jaccard_adjacent": q_jaccard_adjacent,
     "embedding_topk": q_embedding_topk,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1155,6 +1198,7 @@ ORACLE_SQL = {
     "lang_dist": SQL_LANG_DIST,
     "quality_scores": SQL_QUALITY_SCORES,
     "repetition_scores": SQL_REPETITION_SCORES,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "jaccard_adjacent": SQL_JACCARD_ADJACENT,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,

@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from searchengine_spark.config import DEFAULT_STOPWORDS
-from searchengine_spark.functions import textproc
+from searchengine_spark.functions import fieldsig, textproc
 from searchengine_spark.operators.index_build import (
     TOKENIZED_POS_SCHEMA,
     TOKENIZED_SCHEMA,
@@ -39,8 +39,11 @@ def _tokenize_with(
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            snippets = [textproc.make_snippet(t or "") for t in pdf["text"]]
+            empties = [""] * len(snippets)
+            sigs = fieldsig.sig_words_batch(empties, empties, snippets).astype("int64")
             rows = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            for i, (doc_id, text) in enumerate(zip(pdf["doc_id"], pdf["text"])):
                 content = text or ""
                 ct = tokenizer(content)
                 if with_positions:
@@ -55,10 +58,11 @@ def _tokenize_with(
                         f"doc://{doc_id}",
                         "",
                         "",
-                        textproc.make_snippet(content),
+                        snippets[i],
                         terms_col,
                         n,
                         float(n),
+                        sigs[i].tolist(),
                     )
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
