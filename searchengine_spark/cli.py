@@ -156,6 +156,34 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """Tombstone compaction: drop docs (by doc_id or url) from a sharded
+    index and rewrite it; exact vs a fresh build of the survivors
+    (operators/merge.py:apply_tombstones)."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators import merge, shards
+
+    spark = _spark(args)
+    index = shards.read_sharded_index(spark, args.index)
+    if args.doc_ids:
+        tomb = spark.createDataFrame(
+            [(d,) for d in args.doc_ids], "doc_id string"
+        )
+    else:
+        urls = spark.createDataFrame([(u,) for u in args.urls], "url string")
+        tomb = index.docs.join(urls, "url").select("doc_id")
+    before = index.n_docs
+    compacted = merge.apply_tombstones(spark, index, tomb)
+    shards.write_sharded_index(compacted, args.out)
+    print(
+        json.dumps(
+            {"docs_before": before, "docs_after": compacted.n_docs, "out": args.out}
+        )
+    )
+    return 0
+
+
 def cmd_verify(args) -> int:
     """Index-artifact integrity (reference verify_index.py:23-89 analog)."""
     from searchengine_spark.operators import index_build
@@ -232,6 +260,15 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--out", required=True)
     m.add_argument("--partitions", type=int, default=32)
     m.set_defaults(fn=cmd_merge)
+
+    d = sub.add_parser(
+        "delete", help="tombstone docs out of a sharded index (compaction rewrite)"
+    )
+    d.add_argument("--index", required=True)
+    d.add_argument("--out", required=True)
+    d.add_argument("--doc-ids", nargs="*", dest="doc_ids", default=[])
+    d.add_argument("--urls", nargs="*", default=[])
+    d.set_defaults(fn=cmd_delete)
 
     v = sub.add_parser("verify", help="index artifact integrity check")
     v.add_argument("--index", required=True)

@@ -192,3 +192,166 @@ def multi_pass_merge(
             for i in range(0, len(runs), fan_in)
         ]
     return runs[0]
+
+
+def apply_tombstones(
+    spark: SparkSession,
+    index,
+    tombstones: DataFrame,
+    block_size: int | None = None,
+):
+    """Delete docs from a sharded index (compaction rewrite) — the
+    maintenance operator a 10^12-doc index needs for takedowns/GDPR that
+    the in-RAM reference (rebuild-the-pickle) never had to express.
+
+    ``tombstones`` is any frame with a ``doc_id`` column. The pass is a
+    per-shard decode → drop → re-encode over the block table (the same
+    kernel family as :func:`merge_block_segments`): tombstoned docnos are
+    cogrouped to their shard, so each task sees only its own kill set and
+    no task ever holds a whole head-term posting list. Every block is
+    re-encoded even in untouched shards because the corpus-level stats
+    change: ``avgdl`` enters each block's ``max_partial`` (the block-max
+    WAND bound) and ``N`` enters every idf — both are recomputed, which is
+    exactly what makes the result EXACT: querying the compacted index is
+    rank- and score-identical to querying a fresh build of the surviving
+    corpus (property-tested). Surviving docnos keep their values — scores
+    never depend on docno, and holes in the docno space are fine (shard
+    membership is unchanged, so doc-disjointness and the per-shard top-k
+    merge argument still hold).
+
+    Field-signature sidecar rows (functions/fieldsig.py) are rewritten the
+    same way (their deleted entries dropped), so the sidecar never leaks
+    deleted docs' field bits.
+    """
+    from searchengine_spark.functions import fieldsig
+    from searchengine_spark.operators.shards import ShardedIndex
+
+    if block_size is None:
+        block_size = index.block_size
+    with_positions = index.with_positions
+    tomb_ids = tombstones.select("doc_id").distinct()
+    docs2 = index.docs.join(tomb_ids, "doc_id", "left_anti")
+    st = docs2.agg(
+        F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    n_docs2 = int(st["n_docs"])
+    avgdl2 = float(st["avgdl"]) if st["avgdl"] is not None else 0.0
+    tomb = index.docs.join(tomb_ids, "doc_id").select("shard", "docno")
+    out_cols = shards_mod._BLOCK_POS_COLS if with_positions else shards_mod._BLOCK_COLS
+
+    def rewrite(bpdf: pd.DataFrame, tpdf: pd.DataFrame) -> pd.DataFrame:
+        kill = np.sort(tpdf["docno"].to_numpy(dtype=np.int64))
+        frames = []
+        pseudo = bpdf["term"].str.startswith("\x00")
+        sig_rows = bpdf[pseudo]
+        out_sig_rows = []
+        for r in sig_rows.itertuples():
+            d = np.cumsum(codec.varint_decode(r.gaps), dtype=np.uint64).astype(
+                np.int64
+            )
+            w = codec.varint_decode(r.tfs)
+            if w.size != d.size * fieldsig.SIG_WORDS:
+                continue
+            keep = ~np.isin(d, kill)
+            if not keep.any():
+                continue
+            d2 = d[keep].astype(np.uint64)
+            w2 = w.reshape(-1, fieldsig.SIG_WORDS)[keep]
+            gaps = np.empty_like(d2)
+            gaps[0] = d2[0]
+            np.subtract(d2[1:], d2[:-1], out=gaps[1:])
+            row = {
+                "shard": int(r.shard),
+                "term": r.term,
+                "block_no": len(out_sig_rows),
+                "n": int(keep.sum()),
+                "min_docno": int(d2[0]),
+                "max_docno": int(d2[-1]),
+                "max_partial": 0.0,
+                "gaps": codec.varint_encode(gaps),
+                "tfs": codec.varint_encode(w2.astype(np.uint64).ravel()),
+                "dls": b"",
+                "fls": b"",
+            }
+            if with_positions:
+                row["pcounts"] = b""
+                row["pgaps"] = b""
+            out_sig_rows.append(row)
+        bpdf = bpdf[~pseudo]
+        for (shard, term), g in bpdf.groupby(["shard", "term"], sort=False):
+            parts = [codec.decode_postings(r.gaps, r.tfs, r.dls) for r in g.itertuples()]
+            flags = [
+                codec.varint_decode(r.fls).astype(np.int64)
+                if len(getattr(r, "fls", b"")) > 0
+                else np.full(p[0].size, shards_mod.FLAG_UNKNOWN, dtype=np.int64)
+                for r, p in zip(g.itertuples(), parts)
+            ]
+            docno = np.concatenate([p[0].astype(np.int64) for p in parts])
+            keep = ~np.isin(docno, kill)
+            if not keep.any():
+                continue
+            cols = {
+                "shard": int(shard),
+                "term": term,
+                "docno": docno[keep],
+                "tf": np.concatenate([p[1] for p in parts])[keep],
+                "doc_len": np.concatenate([p[2] for p in parts])[keep],
+                "flags": np.concatenate(flags)[keep],
+            }
+            if with_positions:
+                plists: list[np.ndarray] = []
+                for r in g.itertuples():
+                    counts, flat_pos = codec.decode_positions(r.pcounts, r.pgaps)
+                    plists.extend(
+                        np.split(flat_pos.astype(np.int64), np.cumsum(counts)[:-1])
+                    )
+                cols["positions"] = [p for p, k in zip(plists, keep) if k]
+            frames.append(pd.DataFrame(cols))
+        if frames:
+            flat = pd.concat(frames, ignore_index=True)
+            encoded = shards_mod.encode_blocks_pdf(
+                flat, avgdl2, block_size, with_positions
+            )
+        else:
+            encoded = pd.DataFrame(columns=out_cols)
+        if out_sig_rows:
+            encoded = pd.concat(
+                [encoded, pd.DataFrame(out_sig_rows, columns=out_cols)],
+                ignore_index=True,
+            )
+        return encoded
+
+    blocks2 = (
+        index.blocks.groupby("shard")
+        .cogroup(tomb.groupby("shard"))
+        .applyInPandas(
+            lambda b, t: rewrite(b, t),
+            BLOCK_POS_SCHEMA if with_positions else BLOCK_SCHEMA,
+        )
+    )
+    term_stats2 = (
+        blocks2.filter(~F.col("term").startswith("\x00"))
+        .groupBy("term")
+        .agg(F.sum("n").cast("long").alias("df"))
+        .select(
+            "term",
+            "df",
+            F.greatest(
+                F.lit(0.0),
+                F.log(
+                    (F.lit(float(n_docs2)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                ),
+            ).alias("idf"),
+        )
+    )
+    return ShardedIndex(
+        blocks=blocks2,
+        docs=docs2,
+        term_stats=term_stats2,
+        n_docs=n_docs2,
+        avgdl=avgdl2,
+        n_shards=index.n_shards,
+        shard_size=index.shard_size,
+        block_size=block_size,
+        with_positions=with_positions,
+    )

@@ -1,0 +1,107 @@
+"""Deletion/compaction exactness (operators/merge.py:apply_tombstones).
+
+The load-bearing property: querying a tombstone-compacted index is
+rank- AND score-identical to querying a fresh build of the surviving
+corpus — i.e. deletion really removes the docs' influence on N, avgdl,
+df/idf, and every block-max bound, not just their rows."""
+
+import numpy as np
+import pytest
+
+from searchengine_spark.functions import fieldsig
+from searchengine_spark.operators import codec, merge, shards
+from searchengine_spark.plans.wand import WandSearchEngine
+from searchengine_spark.sources import webgen
+
+
+@pytest.fixture(scope="module")
+def corpora(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("tomb")
+    pages = webgen.generate_spark(spark, n_docs=300, partitions=4)
+    # deterministic kill set: every 7th page by URL residue
+    from pyspark.sql import functions as F
+
+    kill_urls = pages.filter(F.pmod(F.xxhash64("url"), F.lit(7)) == 0).select("url")
+    survivors = pages.join(kill_urls, "url", "left_anti")
+    full = shards.build_and_write_sharded(spark, pages, str(base / "full"), n_shards=4)
+    full = shards.read_sharded_index(spark, str(base / "full"))
+    fresh = shards.build_and_write_sharded(
+        spark, survivors, str(base / "fresh"), n_shards=4
+    )
+    fresh = shards.read_sharded_index(spark, str(base / "fresh"))
+    tomb_ids = full.docs.join(
+        fresh.docs.select("doc_id"), "doc_id", "left_anti"
+    ).select("doc_id")
+    compacted = merge.apply_tombstones(spark, full, tomb_ids)
+    return full, fresh, compacted, tomb_ids
+
+
+def test_stats_match_fresh_build(spark, corpora):
+    full, fresh, compacted, _ = corpora
+    assert compacted.n_docs == fresh.n_docs < full.n_docs
+    assert abs(compacted.avgdl - fresh.avgdl) < 1e-9
+    a = {r["term"]: (r["df"], round(r["idf"], 9)) for r in compacted.term_stats.collect()}
+    b = {r["term"]: (r["df"], round(r["idf"], 9)) for r in fresh.term_stats.collect()}
+    assert a == b
+
+
+def test_no_deleted_docnos_survive(spark, corpora):
+    full, _fresh, compacted, tomb_ids = corpora
+    killed = {
+        r["docno"]
+        for r in full.docs.join(tomb_ids, "doc_id").select("docno").collect()
+    }
+    assert killed
+    for row in compacted.blocks.toPandas().itertuples():
+        d = np.cumsum(codec.varint_decode(row.gaps), dtype=np.uint64).astype(np.int64)
+        assert not (set(d.tolist()) & killed), row.term
+        if row.term == fieldsig.SIG_TERM:
+            w = codec.varint_decode(row.tfs)
+            assert w.size == d.size * fieldsig.SIG_WORDS  # sidecar re-encoded
+
+
+def test_query_identical_to_fresh_build(spark, corpora):
+    _full, fresh, compacted, _ = corpora
+    queries = webgen.reference_queries()
+    want = WandSearchEngine(spark, fresh).search_batch(queries, top_k=10)
+    got = WandSearchEngine(spark, compacted).search_batch(queries, top_k=10)
+    cols = ["query_id", "rank", "doc_id", "score"]
+    w = [tuple(r) for r in want.select(*cols).orderBy("query_id", "rank").collect()]
+    g = [tuple(r) for r in got.select(*cols).orderBy("query_id", "rank").collect()]
+    assert [x[:3] for x in w] == [x[:3] for x in g]
+    for (_, _, _, s1), (_, _, _, s2) in zip(w, g):
+        assert abs(s1 - s2) <= 1e-9 * max(abs(s1), abs(s2), 1.0)
+
+
+def test_positional_tombstones_preserve_phrases(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.plans import phrase
+
+    base = tmp_path_factory.mktemp("tombpos")
+    pages = webgen.generate_spark(spark, n_docs=150, partitions=2)
+    kill_urls = pages.filter(F.pmod(F.xxhash64("url"), F.lit(5)) == 0).select("url")
+    survivors = pages.join(kill_urls, "url", "left_anti")
+    full = shards.build_and_write_sharded(
+        spark, pages, str(base / "full"), n_shards=2, with_positions=True
+    )
+    full = shards.read_sharded_index(spark, str(base / "full"))
+    fresh = shards.build_and_write_sharded(
+        spark, survivors, str(base / "fresh"), n_shards=2, with_positions=True
+    )
+    fresh = shards.read_sharded_index(spark, str(base / "fresh"))
+    tomb_ids = full.docs.join(
+        fresh.docs.select("doc_id"), "doc_id", "left_anti"
+    ).select("doc_id")
+    compacted = merge.apply_tombstones(spark, full, tomb_ids)
+    assert compacted.with_positions
+    q = "search engine"
+    want = {
+        (r["doc_id"], r["phrase_tf"])
+        for r in phrase.phrase_match_sharded(spark, fresh, q, top_k=50).collect()
+    }
+    got = {
+        (r["doc_id"], r["phrase_tf"])
+        for r in phrase.phrase_match_sharded(spark, compacted, q, top_k=50).collect()
+    }
+    assert want == got
