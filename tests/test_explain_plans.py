@@ -133,3 +133,23 @@ def test_phrase_docs_join_is_broadcast(spark, tmp_path_factory):
     out = phrase_match_sharded(spark, index, "make work", terms=["make", "work"])
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_repetition_scores_plan_is_shuffle_free(spark):
+    # the Gopher repetition signals are higher-order array expressions —
+    # the whole plan must be a single map-side pass over the parquet scan
+    # (an Exchange here would mean a per-n-gram shuffle at 100 TB)
+    from searchengine_spark.plans.entry_queries import q_repetition_scores
+
+    plan = _plan(q_repetition_scores(spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan, plan
+
+
+def test_stratified_sample_plan_has_single_aggregation_exchange(spark):
+    # deterministic sampling is a pure per-row predicate; the only shuffle
+    # allowed is the final per-stratum count aggregation
+    from searchengine_spark.plans.entry_queries import q_stratified_sample
+
+    plan = _plan(q_stratified_sample(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange") <= 1, plan
+    assert "partial" in plan.lower() or "HashAggregate" in plan, plan
