@@ -136,6 +136,21 @@ def run_bench(cpus: int = CPUS, n_docs: int = N_DOCS, sf_dir: str = SF_DIR) -> d
     queries["query_batch_21_wand"] = round(time.time() - t0, 3)
     assert n_wand == n_results, f"wand={n_wand} != exhaustive={n_results}"
 
+    # serving-shaped load: 10x the reference set in ONE batch — phase
+    # overheads (candidate broadcast, window, winner probe) are per-batch,
+    # so ms/query here is the number that holds for a batched serving tier
+    big = [
+        (i * 1000 + qid, text)
+        for i in range(10)
+        for qid, text in webgen.reference_queries()
+    ]
+    t0 = time.time()
+    n_big = len(
+        WandSearchEngine(spark, sharded).search_batch(big, top_k=10).collect()
+    )
+    queries["query_batch_210_wand"] = round(time.time() - t0, 3)
+    assert n_big == 10 * n_wand, f"big={n_big} != 10x{n_wand}"
+
     for name in ("bm25_topk", "term_df_top100", "minhash_signatures", "embedding_topk",
                  "phrase_match"):
         fn = entry_queries.QUERIES[name]
@@ -154,6 +169,9 @@ def run_bench(cpus: int = CPUS, n_docs: int = N_DOCS, sf_dir: str = SF_DIR) -> d
         "cpus": cpus,
         "docs_per_sec": docs_per_sec,
         "query_batch_results": n_results,
+        "wand_ms_per_query_at_210": round(
+            1000 * queries["query_batch_210_wand"] / 210, 1
+        ),
     }
 
 
