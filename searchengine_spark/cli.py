@@ -174,8 +174,9 @@ def cmd_delete(args) -> int:
         urls = spark.createDataFrame([(u,) for u in args.urls], "url string")
         tomb = index.docs.join(urls, "url").select("doc_id")
     before = index.n_docs
-    compacted = merge.apply_tombstones(spark, index, tomb)
-    shards.write_sharded_index(compacted, args.out)
+    # out_path mode: the rewrite executes once; stats derive from the
+    # written blocks instead of re-running the kernel
+    compacted = merge.apply_tombstones(spark, index, tomb, out_path=args.out)
     print(
         json.dumps(
             {"docs_before": before, "docs_after": compacted.n_docs, "out": args.out}

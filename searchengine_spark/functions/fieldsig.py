@@ -95,11 +95,10 @@ def _field_batch_bits(
     counts[-1] -= 2  # the final separator has no trailing windows
     b8 = np.frombuffer(cat, dtype=np.uint8)
     b0, b1, b2 = b8[:-2], b8[1:-1], b8[2:]
-    h = (
-        b0.astype(np.uint32) * np.uint32(131071)
-        + b1 * np.uint32(8191)
-        + b2
-    ) * _MULT
+    # the ONE shared hash (same function the query side probes with — an
+    # inline near-copy here once diverged via numpy value-based uint16
+    # promotion of a uint8*scalar term, a silent soundness hazard)
+    h = _gram_hashes(cat)
     bits = h & np.uint32(32 * n_words - 1)  # widths are powers of two
     w = (bits >> np.uint32(5)).astype(np.int64)
     masks = (np.uint32(1) << (bits & np.uint32(31))).astype(np.uint32)

@@ -85,13 +85,11 @@ def merge_block_segments(
     segments: list[DataFrame],
     avgdl: float,
     block_size: int = DEFAULT_BLOCK_SIZE,
-    num_partitions: int | None = None,
 ) -> DataFrame:
     """Merge posting-block tables (shared docno space, doc-disjoint
-    segments) into one re-blocked table. One shuffle by (shard, term)."""
+    segments) into one re-blocked table. One shuffle by (shard,
+    term-bucket) — the groupBy below induces it; nothing else may add one."""
     u = _union_all(segments)
-    if num_partitions:
-        u = u.repartition(num_partitions, "shard", "term")
     with_positions = "pcounts" in u.columns
 
     def regroup(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -199,16 +197,19 @@ def apply_tombstones(
     index,
     tombstones: DataFrame,
     block_size: int | None = None,
+    out_path: str | None = None,
 ):
     """Delete docs from a sharded index (compaction rewrite) — the
     maintenance operator a 10^12-doc index needs for takedowns/GDPR that
     the in-RAM reference (rebuild-the-pickle) never had to express.
 
     ``tombstones`` is any frame with a ``doc_id`` column. The pass is a
-    per-shard decode → drop → re-encode over the block table (the same
-    kernel family as :func:`merge_block_segments`): tombstoned docnos are
-    cogrouped to their shard, so each task sees only its own kill set and
-    no task ever holds a whole head-term posting list. Every block is
+    per-(shard, term-bucket) decode → drop → re-encode over the block table
+    (the SAME group granularity as the build and
+    :func:`merge_block_segments`, so a delete task is bounded by
+    ~1/TERM_BUCKETS of a shard — never a whole shard, never a whole
+    head-term posting list); the kill set is replicated across a shard's
+    buckets (TERM_BUCKETS small int rows per tombstone). Every block is
     re-encoded even in untouched shards because the corpus-level stats
     change: ``avgdl`` enters each block's ``max_partial`` (the block-max
     WAND bound) and ``N`` enters every idf — both are recomputed, which is
@@ -222,12 +223,23 @@ def apply_tombstones(
     Field-signature sidecar rows (functions/fieldsig.py) are rewritten the
     same way (their deleted entries dropped), so the sidecar never leaks
     deleted docs' field bits.
+
+    **Pass ``out_path`` for real workloads**: the rewrite is then executed
+    ONCE — blocks and docs are written, and term_stats derive from the
+    written parquet. Without it the returned index is lazy and deriving
+    term_stats from the lazy blocks re-runs the whole rewrite on each
+    materialization (fine for tests, double work at scale).
     """
     from searchengine_spark.functions import fieldsig
-    from searchengine_spark.operators.shards import ShardedIndex
+    from searchengine_spark.operators.shards import ShardedIndex, read_sharded_index
 
     if block_size is None:
         block_size = index.block_size
+    if "doc_len" not in index.docs.columns:
+        raise ValueError(
+            "apply_tombstones needs doc_len in docs_sharded (pre-doc_len "
+            "layout: export + rebuild the index first, see shards.export_index)"
+        )
     with_positions = index.with_positions
     tomb_ids = tombstones.select("doc_id").distinct()
     docs2 = index.docs.join(tomb_ids, "doc_id", "left_anti")
@@ -321,37 +333,85 @@ def apply_tombstones(
             )
         return encoded
 
+    # build-granularity grouping: (shard, term-bucket) bounds each task at
+    # ~1/TERM_BUCKETS of a shard; the kill set replicates across buckets
+    # (tiny int rows) so every bucket task sees its shard's tombstones
+    blocks_b = index.blocks.withColumn(
+        "_tb", F.pmod(F.xxhash64("term"), F.lit(shards_mod.TERM_BUCKETS)).cast("int")
+    )
+    tomb_rep = tomb.withColumn(
+        "_tb",
+        F.explode(F.array(*[F.lit(i) for i in range(shards_mod.TERM_BUCKETS)])),
+    )
     blocks2 = (
-        index.blocks.groupby("shard")
-        .cogroup(tomb.groupby("shard"))
+        blocks_b.groupby("shard", "_tb")
+        .cogroup(tomb_rep.groupby("shard", "_tb"))
         .applyInPandas(
-            lambda b, t: rewrite(b, t),
+            lambda b, t: rewrite(b.drop(columns=["_tb"]), t),
             BLOCK_POS_SCHEMA if with_positions else BLOCK_SCHEMA,
         )
     )
-    term_stats2 = (
-        blocks2.filter(~F.col("term").startswith("\x00"))
-        .groupBy("term")
-        .agg(F.sum("n").cast("long").alias("df"))
-        .select(
-            "term",
-            "df",
-            F.greatest(
-                F.lit(0.0),
-                F.log(
-                    (F.lit(float(n_docs2)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-                ),
-            ).alias("idf"),
+
+    def term_stats_from(blocks_df: DataFrame) -> DataFrame:
+        return (
+            blocks_df.filter(~F.col("term").startswith("\x00"))
+            .groupBy("term")
+            .agg(F.sum("n").cast("long").alias("df"))
+            .select(
+                "term",
+                "df",
+                F.greatest(
+                    F.lit(0.0),
+                    F.log(
+                        (F.lit(float(n_docs2)) - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5)
+                    ),
+                ).alias("idf"),
+            )
         )
+
+    if out_path is None:
+        return ShardedIndex(
+            blocks=blocks2,
+            docs=docs2,
+            term_stats=term_stats_from(blocks2),
+            n_docs=n_docs2,
+            avgdl=avgdl2,
+            n_shards=index.n_shards,
+            shard_size=index.shard_size,
+            block_size=block_size,
+            with_positions=with_positions,
+        )
+
+    # write path: the expensive rewrite runs exactly once (blocks write);
+    # term_stats derive from the WRITTEN parquet, mirroring the build
+    import json as _json
+
+    (
+        blocks2.repartition(index.n_shards, "shard")
+        .sortWithinPartitions("shard", "term", "block_no")
+        .write.mode("overwrite")
+        .parquet(f"{out_path}/blocks")
     )
-    return ShardedIndex(
-        blocks=blocks2,
-        docs=docs2,
-        term_stats=term_stats2,
-        n_docs=n_docs2,
-        avgdl=avgdl2,
-        n_shards=index.n_shards,
-        shard_size=index.shard_size,
-        block_size=block_size,
-        with_positions=with_positions,
+    (
+        docs2.repartition(index.n_shards, "shard")
+        .sortWithinPartitions("shard", "docno")
+        .write.mode("overwrite")
+        .parquet(f"{out_path}/docs_sharded")
     )
+    term_stats_from(spark.read.parquet(f"{out_path}/blocks")).write.mode(
+        "overwrite"
+    ).parquet(f"{out_path}/term_stats")
+    with open(f"{out_path}/meta.json", "w") as f:
+        _json.dump(
+            {
+                "n_docs": n_docs2,
+                "avgdl": avgdl2,
+                "n_shards": index.n_shards,
+                "shard_size": index.shard_size,
+                "block_size": block_size,
+                "with_positions": with_positions,
+            },
+            f,
+        )
+    return read_sharded_index(spark, out_path)

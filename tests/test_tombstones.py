@@ -32,7 +32,10 @@ def corpora(spark, tmp_path_factory):
     tomb_ids = full.docs.join(
         fresh.docs.select("doc_id"), "doc_id", "left_anti"
     ).select("doc_id")
-    compacted = merge.apply_tombstones(spark, full, tomb_ids)
+    # out_path covers the single-execution write path + read-back
+    compacted = merge.apply_tombstones(
+        spark, full, tomb_ids, out_path=str(base / "compacted")
+    )
     return full, fresh, compacted, tomb_ids
 
 
