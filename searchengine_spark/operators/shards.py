@@ -90,6 +90,15 @@ BLOCK_POS_SCHEMA = BLOCK_SCHEMA + ", pcounts binary, pgaps binary"
 DEFAULT_BLOCK_SIZE = 128
 TERM_BUCKETS = 8
 
+# Explicit broadcast hints are gated on estimated BYTES, not bare row count:
+# the lowered title/desc/snippet dimension is ~350 B/row and the
+# (doc_id, docno) mapping ~50 B/row, so these caps keep a forced broadcast
+# under ~70 MB / ~200 MB on every executor; past them the keyed join is left
+# to AQE, which shrinks it back to a broadcast at runtime when the actual
+# build-side bytes allow.
+BROADCAST_LOWERED_MAX_ROWS = 200_000   # ~350 B/row ⇒ ≤ ~70 MB
+BROADCAST_DOCNOS_MAX_ROWS = 4_000_000  # ~50 B/row ⇒ ≤ ~200 MB
+
 _BLOCK_COLS = [
     "shard", "term", "block_no", "n", "min_docno", "max_docno",
     "max_partial", "gaps", "tfs", "dls", "fls",
@@ -316,6 +325,15 @@ class ShardedIndex:
     shard_size: int
     block_size: int
     with_positions: bool = False
+    # filesystem root of a WRITTEN index (None for in-memory plans) — lets
+    # query engines probe docs_sharded/blocks directly with row-group
+    # pruning instead of joining the whole table into the plan
+    path: str | None = None
+    # False when the stored blocks predate the per-posting boost-flag
+    # stream: WAND's emission bounds then fall back to the loose global
+    # MAX_BOOST margin, so candidate volume is not O(k) per shard and the
+    # phase-2 broadcast gate must not trust the tight-bound assumption
+    has_flag_stream: bool = True
 
 
 def fieldsig_block_rows(sig_src: DataFrame, with_positions: bool = False) -> DataFrame:
@@ -421,10 +439,10 @@ def build_sharded_index(
     # weighted tokens (~8 GiB of text), far beyond any real page.
     _assert_integral_boosts()
     # boost-bound flags need the doc's lowered metadata next to each posting;
-    # broadcast the (doc_id, 3 lowered fields) dimension when small, else let
-    # AQE plan the doc_id-keyed join (same threshold family as the engines)
+    # broadcast the (doc_id, 3 lowered fields) dimension when its BYTES stay
+    # broadcast-safe, else let AQE plan the doc_id-keyed join
     fl_src = tables.docs.select("doc_id", *_lowered_fields())
-    if n_docs <= 2_000_000:
+    if n_docs <= BROADCAST_LOWERED_MAX_ROWS:
         fl_src = F.broadcast(fl_src)
     with_no = (
         tables.postings.join(docnos, "doc_id")
@@ -524,7 +542,7 @@ def build_and_write_sharded(
     1. stage 1 tokenize (map-only) → persisted ``tokenized``
     2. docno assignment over the (small) doc_id set; joined to ``tokenized``
        BEFORE the explode — the join moves 1 row/doc, never 1 row/posting
-       (broadcast below 20M docs, doc-keyed shuffle join beyond)
+       (broadcast while byte-safe, doc-keyed shuffle join beyond)
     3. explode → groupBy(shard, term-bucket) → Arrow encode kernel →
        block rows written directly, term-sorted within partitions
     4. docs re-derived from ``tokenized`` (cheap column scan); term_stats
@@ -575,7 +593,7 @@ def shard_and_write_from_tokenized(
     shard_size = max(1, math.ceil(n_docs / n_shards))
 
     docnos = docnos_src = assign_docnos(spark, tokenized.select("doc_id"))
-    if n_docs <= 20_000_000:
+    if n_docs <= BROADCAST_DOCNOS_MAX_ROWS:
         docnos = F.broadcast(docnos)  # wraps a NEW frame: release via docnos_src
     tk = tokenized.join(docnos, "doc_id").withColumn(
         "shard", (F.col("docno") / shard_size).cast("int")
@@ -714,7 +732,8 @@ def read_sharded_index(spark: SparkSession, path: str) -> ShardedIndex:
         meta = json.load(f)
     meta.setdefault("with_positions", False)
     blocks = spark.read.parquet(f"{path}/blocks")
-    if "fls" not in blocks.columns:
+    has_flags = "fls" in blocks.columns
+    if not has_flags:
         # index written before the boost-bound flag stream existed: empty
         # buffer = UNKNOWN, the kernel falls back to the MAX_BOOST bound
         blocks = blocks.withColumn("fls", F.lit(b""))
@@ -722,6 +741,8 @@ def read_sharded_index(spark: SparkSession, path: str) -> ShardedIndex:
         blocks=blocks,
         docs=spark.read.parquet(f"{path}/docs_sharded"),
         term_stats=spark.read.parquet(f"{path}/term_stats"),
+        path=path,
+        has_flag_stream=has_flags,
         **meta,
     )
 
@@ -842,7 +863,7 @@ def export_index(spark: SparkSession, index: ShardedIndex) -> "IndexTables":
         decode, "term string, docno long, tf double, doc_len double"
     )
     mapping = index.docs.select("docno", "doc_id")
-    if index.n_docs <= 20_000_000:
+    if index.n_docs <= BROADCAST_DOCNOS_MAX_ROWS:
         mapping = F.broadcast(mapping)
     postings = decoded.join(mapping, "docno").select("term", "doc_id", "tf", "doc_len")
 

@@ -138,11 +138,13 @@ def boost_chain_expr() -> Column:
 class BM25SearchEngine:
     """Holds the index tables + cached scalar stats; answers query batches."""
 
-    # Below this doc count the docs dimension (truncated snippets → ~350 B/row)
-    # fits comfortably in a broadcast; the boost and metadata joins then skip
-    # their shuffles (measured: -17% on the 21-query batch at 120k docs).
-    # Above it the shuffle join is the scale-correct plan.
-    BROADCAST_DOCS_MAX = 2_000_000
+    # Below this doc count the docs dimension (truncated snippets → ~350 B/row
+    # ⇒ ≤ ~70 MB) fits comfortably in a broadcast; the boost and metadata
+    # joins then skip their shuffles (measured: -17% on the 21-query batch at
+    # 120k docs). Above it the AQE-planned shuffle join is the scale-correct
+    # plan — the cap is byte-derived, not a bare row count, so a forced
+    # broadcast can never push hundreds of MB onto every executor.
+    BROADCAST_DOCS_MAX = 200_000
 
     def __init__(self, spark: SparkSession, tables):
         self.spark = spark

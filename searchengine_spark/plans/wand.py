@@ -8,16 +8,40 @@ scores only the survivors, and emits a small per-shard candidate set; the
 global answer is exact because every posting of a doc lives in exactly one
 shard (operators/shards.py).
 
-**Two phases** (the metadata-light design): phase 1 is a numpy kernel over
-the posting blocks ONLY — it never sees doc metadata, so the per-batch
-exchange carries just ``(query_id, shard, docno, raw_score)`` for the
-candidates, never the ~350 B/doc metadata of the corpus. Phase 2 joins
-``index.docs`` against the **broadcast** candidate set (thousands of rows)
-to fetch metadata for survivors only, applies the exact shared boost chain
-(plans/bm25.py:boost_chain_expr — the same Catalyst expression the
-exhaustive engine runs), then per-query normalize / top-k / threshold.
-At 10^12 docs the docs side is a map-side broadcast-hash-join probe — no
-shuffle of doc metadata ever happens (asserted in tests/test_explain_plans).
+**Two phases plus a cross-shard refinement** (the metadata-light design):
+phase 1 is a numpy kernel over the posting blocks ONLY — it never sees doc
+metadata, so the per-batch exchange carries just
+``(query_id, shard, docno, raw, lb, ub)`` for the candidates (``lb``/``ub``
+are the per-doc boosted-score bounds derived below), never the ~350 B/doc
+metadata of the corpus. Between the phases a **global θ-refinement** runs
+over that narrow candidate frame: per query, θ_global = the kth-largest
+``lb`` across ALL shards (one window over the candidate exchange), and any
+candidate with ``ub < θ_global`` is dropped — exact, because its boosted
+score is ≤ ub < θ_global ≤ the true kth-best boosted score. This is what
+makes candidate volume O(k·boost-margin) per query instead of
+O(k·n_shards): phase-1 emission floors at ~k rows per shard holding a
+query term, and shard count grows linearly with the corpus (at 10^12 docs
+with task-sized shards that is 10^7–10^8 rows per batch — not
+broadcastable), but after refinement only docs competitive with the GLOBAL
+kth-best survive.
+
+Phase 2 fetches metadata for the refined survivors only, applies the exact
+shared boost chain (plans/bm25.py:boost_chain_expr — the same Catalyst
+expression the exhaustive engine runs), then per-query normalize / top-k /
+threshold. Two exchange-free-on-docs join modes, chosen by a size gate:
+
+* **broadcast** (small refined set): ``index.docs`` probes the broadcast
+  candidates map-side — a BroadcastHashJoin whose streamed side is the
+  docs scan;
+* **direct probe** (large refined set, or an index without the flag
+  stream, whose fallback bounds are loose): candidates repartition by
+  shard and each task reads ITS shard's rows of ``docs_sharded`` straight
+  through pyarrow with (shard, docno-range) row-group pruning — the docs
+  table never enters the Spark plan at all, so nothing about it can
+  shuffle or broadcast regardless of candidate volume.
+
+In both modes no shuffle of doc metadata ever happens (asserted in
+tests/test_explain_plans for both).
 
 Exactness argument (property-tested against the exhaustive engine):
 
@@ -98,8 +122,28 @@ MAX_BOOST = (
     * PROXIMITY_BOOST
 )
 
+
+def _assert_phrase_chain_monotonic() -> None:
+    """The kernel's phrase upper bound (``ph_ub``) walks the exclusive
+    if/elif chain and takes the FIRST field not ruled out — sound only if
+    the chain's boosts are non-increasing (title ≥ desc ≥ snippet ≥ 1).
+    Validate at import, mirroring shards._assert_integral_boosts, so a
+    non-monotonic boost config fails loudly instead of silently making the
+    emission bound inexact."""
+    if not (TITLE_PHRASE_BOOST >= DESC_PHRASE_BOOST >= SNIPPET_PHRASE_BOOST >= 1.0):
+        raise ValueError(
+            "WAND emission bounds require TITLE_PHRASE_BOOST >= "
+            f"DESC_PHRASE_BOOST >= SNIPPET_PHRASE_BOOST >= 1.0; got "
+            f"{TITLE_PHRASE_BOOST}/{DESC_PHRASE_BOOST}/{SNIPPET_PHRASE_BOOST}"
+        )
+
+
+_assert_phrase_chain_monotonic()
+
 # phase-1 kernel output: per-shard candidate docnos with exact raw BM25
-_CAND_SCHEMA = "query_id int, shard int, docno long, raw double"
+# plus the per-doc boosted-score bounds (raw·LBboost ≤ boosted ≤ raw·UBboost)
+# that feed the cross-shard θ-refinement
+_CAND_SCHEMA = "query_id int, shard int, docno long, raw double, lb double, ub double"
 
 
 def _phase1_kernel(
@@ -110,7 +154,7 @@ def _phase1_kernel(
     blocks, then candidate emission under per-doc flag-derived boost bounds
     against the shard's kth-largest boosted lower bound."""
     if len(blocks_pdf) == 0:
-        return pd.DataFrame(columns=["query_id", "shard", "docno", "raw"])
+        return pd.DataFrame(columns=["query_id", "shard", "docno", "raw", "lb", "ub"])
     blocks_pdf = blocks_pdf.reset_index(drop=True)
     shard = int(blocks_pdf["shard"].iloc[0])
     has_flags = "fls" in blocks_pdf.columns
@@ -303,127 +347,132 @@ def _phase1_kernel(
         du, su, eu = score_docnos(kept, killed=killed, with_bounds=True)
         if du.size == 0:
             continue
-        # candidate emission under per-doc boost bounds (module doc): emit d
-        # iff raw·UB(d) ≥ kth-largest raw·LB in the shard. UB/LB collapse to
-        # MAX_BOOST/1 when the index carries no flag stream.
-        if su.size > k:
-            # bounds-only aux terms: the query's idf<=0 terms were dropped
-            # from scoring (their contribution is 0), but their posting
-            # FLAGS still resolve those orig tokens' field presence exactly
-            # for every candidate that contains the term — and idf<=0 means
-            # more than half the corpus does. One extra posting-list decode
-            # per dropped term per shard (same unit cost as a scored term);
-            # on tie-heavy corpora this is what collapses the emission
-            # margin, because unknown-token slack is what keeps UB > 1.
-            for t in aux_terms:
-                if t not in by_term:
+        # per-doc boost bounds (module doc) — computed for EVERY candidate,
+        # not only when shard-local emission gates (su.size > k): the bounds
+        # also feed the cross-shard θ-refinement in search_batch, where a
+        # tight lb from any shard raises θ_global and a tight ub lets a
+        # candidate be dropped before the phase-2 metadata probe. UB/LB
+        # collapse to MAX_BOOST/1 when the index carries no flag stream.
+        # bounds-only aux terms: the query's idf<=0 terms were dropped
+        # from scoring (their contribution is 0), but their posting
+        # FLAGS still resolve those orig tokens' field presence exactly
+        # for every candidate that contains the term — and idf<=0 means
+        # more than half the corpus does. One extra posting-list decode
+        # per dropped term per shard (same unit cost as a scored term);
+        # on tie-heavy corpora this is what collapses the emission
+        # margin, because unknown-token slack is what keeps UB > 1.
+        for t in aux_terms:
+            if t not in by_term:
+                continue
+            m_o = orig_mult.get(t, 0)
+            t_in_q = t in original_query
+            if not m_o and not t_in_q:
+                continue
+            for ri in by_term[t].index:
+                d, _tf, _dl, fl = decoded(int(ri))
+                if fl is None:
                     continue
-                m_o = orig_mult.get(t, 0)
-                t_in_q = t in original_query
-                if not m_o and not t_in_q:
+                pos = np.searchsorted(du, d)
+                ok = pos < du.size
+                pos_ok = pos[ok]
+                hit = du[pos_ok] == d[ok]
+                idx = pos_ok[hit]
+                if idx.size == 0:
                     continue
-                for ri in by_term[t].index:
-                    d, _tf, _dl, fl = decoded(int(ri))
-                    if fl is None:
-                        continue
-                    pos = np.searchsorted(du, d)
-                    ok = pos < du.size
-                    pos_ok = pos[ok]
-                    hit = du[pos_ok] == d[ok]
-                    idx = pos_ok[hit]
-                    if idx.size == 0:
-                        continue
-                    flh = fl[ok][hit]
-                    known = (flh & 8) == 0
-                    b_t = ((flh & 1) > 0) & known
-                    b_d = ((flh & 2) > 0) & known
-                    b_s = ((flh & 4) > 0) & known
-                    if m_o:
-                        eu[idx, 0] += m_o * known
-                        eu[idx, 1] += m_o * b_t
-                        eu[idx, 2] += m_o * b_d
-                        eu[idx, 3] += m_o * b_s
-                    if t_in_q:
-                        eu[idx, 4] += known & ~b_t
-                        eu[idx, 5] += known & ~b_d
-                        eu[idx, 6] += known & ~b_s
-            # field-signature Bloom pass for FREE orig tokens — those with
-            # no posting rows in this shard (stopwords and OOV words have
-            # none anywhere; a scored/aux term can be absent shard-locally).
-            # The filter proves per-doc per-field ABSENCE (never presence):
-            # absent tightens the ub and, for tokens that are substrings of
-            # the query (an orig token need not be — Porter can rewrite),
-            # rules the field's phrase boost out. Disjoint from the flag
-            # sums by construction: a free token contributed nothing to eu.
-            kt, p_t, p_d, p_s, qa_t, qa_d, qa_s = eu.T
-            abs_t = np.zeros(du.size)
-            abs_d = np.zeros(du.size)
-            abs_s = np.zeros(du.size)
-            free = [
-                (o, m) for o, m in orig_mult.items() if o not in by_term
-            ] if n_orig > 0 else []
-            if free:
-                sd = sig_data()
-                if sd is not None:
-                    sdoc, swords = sd
-                    pos = np.searchsorted(sdoc, du)
-                    ok = pos < sdoc.size
-                    ok[ok] &= sdoc[pos[ok]] == du[ok]
-                    W = swords[np.where(ok, pos, 0)]
-                    for o, m in free:
-                        probes = fieldsig.token_bits(o)
-                        if probes is None:
-                            continue  # < 3 bytes: filter cannot speak
-                        o_in_q = o in original_query
-                        for field, acc, qa in (
-                            ("title", abs_t, qa_t),
-                            ("description", abs_d, qa_d),
-                            ("snippet", abs_s, qa_s),
-                        ):
-                            absent = fieldsig.absent_mask(W, field, probes) & ok
-                            acc += m * absent
-                            if o_in_q:
-                                qa += absent
-            if n_orig > 0:
-                ub_t = p_t + np.maximum(n_orig - kt - abs_t, 0.0)
-                ub_d = p_d + np.maximum(n_orig - kt - abs_d, 0.0)
-                ub_s = p_s + np.maximum(n_orig - kt - abs_s, 0.0)
-                tfac_ub = np.where(
-                    ub_t > 0, 1.0 + TITLE_MATCH_BOOST * ub_t / n_orig, 1.0
-                )
-                tfac_lb = np.where(
-                    p_t > 0, 1.0 + TITLE_MATCH_BOOST * p_t / n_orig, 1.0
-                )
-                dfac_ub = np.where(
-                    ub_d > 0, 1.0 + DESC_MATCH_BOOST * ub_d / n_orig, 1.0
-                )
-                dfac_lb = np.where(
-                    p_d > 0, 1.0 + DESC_MATCH_BOOST * p_d / n_orig, 1.0
-                )
-                prox_ub = np.where(
-                    (n_orig > 1) & (ub_s >= n_orig), PROXIMITY_BOOST, 1.0
-                )
-                prox_lb = np.where(
-                    (n_orig > 1) & (p_s >= n_orig), PROXIMITY_BOOST, 1.0
-                )
-            else:
-                tfac_ub = tfac_lb = dfac_ub = dfac_lb = prox_ub = prox_lb = (
-                    np.ones(su.size)
-                )
-            ph_ub = np.where(
-                qa_t == 0,
-                TITLE_PHRASE_BOOST,
-                np.where(
-                    qa_d == 0,
-                    DESC_PHRASE_BOOST,
-                    np.where(qa_s == 0, SNIPPET_PHRASE_BOOST, 1.0),
-                ),
+                flh = fl[ok][hit]
+                known = (flh & 8) == 0
+                b_t = ((flh & 1) > 0) & known
+                b_d = ((flh & 2) > 0) & known
+                b_s = ((flh & 4) > 0) & known
+                if m_o:
+                    eu[idx, 0] += m_o * known
+                    eu[idx, 1] += m_o * b_t
+                    eu[idx, 2] += m_o * b_d
+                    eu[idx, 3] += m_o * b_s
+                if t_in_q:
+                    eu[idx, 4] += known & ~b_t
+                    eu[idx, 5] += known & ~b_d
+                    eu[idx, 6] += known & ~b_s
+        # field-signature Bloom pass for FREE orig tokens — those with
+        # no posting rows in this shard (stopwords and OOV words have
+        # none anywhere; a scored/aux term can be absent shard-locally).
+        # The filter proves per-doc per-field ABSENCE (never presence):
+        # absent tightens the ub and, for tokens that are substrings of
+        # the query (an orig token need not be — Porter can rewrite),
+        # rules the field's phrase boost out. Disjoint from the flag
+        # sums by construction: a free token contributed nothing to eu.
+        kt, p_t, p_d, p_s, qa_t, qa_d, qa_s = eu.T
+        abs_t = np.zeros(du.size)
+        abs_d = np.zeros(du.size)
+        abs_s = np.zeros(du.size)
+        free = [
+            (o, m) for o, m in orig_mult.items() if o not in by_term
+        ] if n_orig > 0 else []
+        if free:
+            sd = sig_data()
+            if sd is not None:
+                sdoc, swords = sd
+                pos = np.searchsorted(sdoc, du)
+                ok = pos < sdoc.size
+                ok[ok] &= sdoc[pos[ok]] == du[ok]
+                W = swords[np.where(ok, pos, 0)]
+                for o, m in free:
+                    probes = fieldsig.token_bits(o)
+                    if probes is None:
+                        continue  # < 3 bytes: filter cannot speak
+                    o_in_q = o in original_query
+                    for field, acc, qa in (
+                        ("title", abs_t, qa_t),
+                        ("description", abs_d, qa_d),
+                        ("snippet", abs_s, qa_s),
+                    ):
+                        absent = fieldsig.absent_mask(W, field, probes) & ok
+                        acc += m * absent
+                        if o_in_q:
+                            qa += absent
+        if n_orig > 0:
+            ub_t = p_t + np.maximum(n_orig - kt - abs_t, 0.0)
+            ub_d = p_d + np.maximum(n_orig - kt - abs_d, 0.0)
+            ub_s = p_s + np.maximum(n_orig - kt - abs_s, 0.0)
+            tfac_ub = np.where(
+                ub_t > 0, 1.0 + TITLE_MATCH_BOOST * ub_t / n_orig, 1.0
             )
-            ub = ph_ub * tfac_ub * dfac_ub * prox_ub
-            lb = tfac_lb * dfac_lb * prox_lb  # phrase lower bound is 1
+            tfac_lb = np.where(
+                p_t > 0, 1.0 + TITLE_MATCH_BOOST * p_t / n_orig, 1.0
+            )
+            dfac_ub = np.where(
+                ub_d > 0, 1.0 + DESC_MATCH_BOOST * ub_d / n_orig, 1.0
+            )
+            dfac_lb = np.where(
+                p_d > 0, 1.0 + DESC_MATCH_BOOST * p_d / n_orig, 1.0
+            )
+            prox_ub = np.where(
+                (n_orig > 1) & (ub_s >= n_orig), PROXIMITY_BOOST, 1.0
+            )
+            prox_lb = np.where(
+                (n_orig > 1) & (p_s >= n_orig), PROXIMITY_BOOST, 1.0
+            )
+        else:
+            tfac_ub = tfac_lb = dfac_ub = dfac_lb = prox_ub = prox_lb = (
+                np.ones(su.size)
+            )
+        ph_ub = np.where(
+            qa_t == 0,
+            TITLE_PHRASE_BOOST,
+            np.where(
+                qa_d == 0,
+                DESC_PHRASE_BOOST,
+                np.where(qa_s == 0, SNIPPET_PHRASE_BOOST, 1.0),
+            ),
+        )
+        ub = ph_ub * tfac_ub * dfac_ub * prox_ub
+        lb = tfac_lb * dfac_lb * prox_lb  # phrase lower bound is 1
+        # shard-local emission filter (module doc): emit d iff raw·UB(d) ≥
+        # the shard's kth-largest raw·LB — only meaningful past k matches
+        if su.size > k:
             theta_k = float(np.partition(su * lb, -k)[-k])
             keep = su * ub >= theta_k
-            du, su = du[keep], su[keep]
+            du, su, lb, ub = du[keep], su[keep], lb[keep], ub[keep]
         out_rows.append(
             pd.DataFrame(
                 {
@@ -431,11 +480,13 @@ def _phase1_kernel(
                     "shard": np.full(du.size, shard, dtype=np.int32),
                     "docno": du,
                     "raw": su,
+                    "lb": su * lb,
+                    "ub": su * ub,
                 }
             )
         )
     if not out_rows:
-        return pd.DataFrame(columns=["query_id", "shard", "docno", "raw"])
+        return pd.DataFrame(columns=["query_id", "shard", "docno", "raw", "lb", "ub"])
     return pd.concat(out_rows, ignore_index=True)
 
 
@@ -516,6 +567,82 @@ class WandSearchEngine:
         )
         return blocks.groupby("shard").applyInPandas(kernel, _CAND_SCHEMA)
 
+    @staticmethod
+    def _refine(candidates: DataFrame, top_k: int) -> DataFrame:
+        """Cross-shard θ-refinement (module doc): per query, θ_global = the
+        kth-largest ``lb`` over ALL shards' candidates; drop every candidate
+        whose ``ub`` cannot reach it. Exact: for any true top-k doc d,
+        ub(d) ≥ boosted(d) ≥ kth-best boosted ≥ kth-largest lb = θ_global
+        (lb ≤ boosted pointwise, so the order statistics dominate too).
+
+        One exchange of the NARROW candidate frame (query_id-partitioned
+        windows; both window specs share the partitioning, so Catalyst
+        plans a single shuffle) — this is the step that collapses candidate
+        volume from O(k·n_shards) to O(k·boost-margin) per query before any
+        doc metadata is touched. Fewer than k candidates ⇒ no θ (NULL) ⇒
+        nothing is dropped."""
+        w_ord = Window.partitionBy("query_id").orderBy(
+            F.desc("lb"), F.asc("shard"), F.asc("docno")
+        )
+        w_all = Window.partitionBy("query_id")
+        return (
+            candidates.withColumn("_lbrn", F.row_number().over(w_ord))
+            .withColumn(
+                "_theta",
+                F.max(F.when(F.col("_lbrn") == top_k, F.col("lb"))).over(w_all),
+            )
+            .filter(F.col("_theta").isNull() | (F.col("ub") >= F.col("_theta")))
+            .select("query_id", "shard", "docno", "raw")
+        )
+
+    # past this pre-refinement ceiling (k·n_shards·|batch| rows, the phase-1
+    # emission floor for common terms) the refined set is no longer assumed
+    # broadcast-safe and phase 2 switches to the direct per-shard probe
+    BROADCAST_CAND_CEILING = 2_000_000
+
+    def _probe_docs_direct(self, candidates: DataFrame) -> DataFrame:
+        """Phase-2 docs probe that never puts the docs table in the Spark
+        plan: candidates repartition by shard (narrow rows — the only
+        exchange), then each task reads ITS shards' metadata rows straight
+        from the ``docs_sharded`` parquet through pyarrow with a
+        (shard == s AND docno BETWEEN lo/hi) predicate — the layout is
+        sorted by (shard, docno) within files (operators/shards.py), so
+        row-group statistics prune the read to the candidate ranges. Scales
+        to any shard count: no broadcast, no docs-side shuffle, ever."""
+        docs_path = f"{self.index.path}/docs_sharded"
+        out_schema = (
+            "query_id int, shard int, docno long, raw double, doc_id string, "
+            "url string, title string, description string, "
+            "content_snippet string"
+        )
+        meta_cols = [
+            "shard", "docno", "doc_id", "url", "title", "description",
+            "content_snippet",
+        ]
+        out_cols = ["query_id", "shard", "docno", "raw"] + meta_cols[2:]
+
+        def probe(batches):
+            import pyarrow.dataset as ds
+
+            dataset = ds.dataset(docs_path, format="parquet")
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for shard_val, g in pdf.groupby("shard"):
+                    lo, hi = int(g["docno"].min()), int(g["docno"].max())
+                    filt = (
+                        (ds.field("shard") == int(shard_val))
+                        & (ds.field("docno") >= lo)
+                        & (ds.field("docno") <= hi)
+                    )
+                    tbl = dataset.to_table(filter=filt, columns=meta_cols)
+                    merged = g.merge(
+                        tbl.to_pandas(), on=["shard", "docno"], how="inner"
+                    )
+                    yield merged[out_cols]
+
+        return candidates.repartition("shard").mapInPandas(probe, out_schema)
+
     def search_batch(
         self,
         queries: list[tuple[int, str]],
@@ -523,7 +650,21 @@ class WandSearchEngine:
         stopwords=DEFAULT_STOPWORDS,
         with_metadata: bool = True,
         prune: bool = True,
+        docs_join: str = "auto",
     ) -> DataFrame | None:
+        """Exact batched top-k (module doc). ``docs_join`` picks the phase-2
+        metadata strategy: ``"broadcast"`` (hash-join probe of the broadcast
+        refined candidates), ``"direct"`` (per-shard pyarrow probe — needs a
+        written index, i.e. ``index.path``), or ``"auto"`` (direct when the
+        pre-refinement candidate ceiling k·n_shards·|batch| exceeds
+        BROADCAST_CAND_CEILING or the index lacks the flag stream whose
+        bounds keep emission tight; broadcast otherwise).
+
+        NOTE: with ``with_metadata=True`` this method is EAGER — the ranked
+        winners (≤ k·|batch| rows) are collected here to drive the pruned
+        metadata re-fetch, so the full query pipeline executes at call time
+        and the returned DataFrame is a cheap final probe. Pass
+        ``with_metadata=False`` for a fully lazy plan."""
         qinfo, term_list = self._analyze(queries, stopwords)
         if qinfo is None:
             return None  # no analyzable query (empty / stopword-only)
@@ -539,26 +680,50 @@ class WandSearchEngine:
                 else "query_id int, rank int, doc_id string, score double"
             )
             return self.spark.createDataFrame([], schema)
-        candidates = self._candidates(qinfo, term_list, top_k, prune)
+        candidates = self._refine(
+            self._candidates(qinfo, term_list, top_k, prune), top_k
+        )
 
-        # ---- phase 2: metadata for SURVIVORS only ------------------------
-        # broadcast the tiny candidate set against the docs store: a map-side
-        # hash-join probe of docs_sharded (no exchange of doc metadata; the
-        # (shard, docno) key hits the sorted row-group layout), then the exact
-        # shared boost chain, per-query max-normalize (Q6), threshold (F12),
-        # top-k (Q7).
+        # ---- phase 2: metadata for REFINED survivors only ----------------
+        # join-mode gate (module doc): broadcast is only safe while the
+        # worst-case candidate ceiling stays small AND the index carries the
+        # flag stream (without it the per-shard emission bounds fall back to
+        # the loose MAX_BOOST margin and candidates can approach the match
+        # set); past either limit, the direct per-shard probe reads only the
+        # row groups the candidates touch — exchange-free on docs in both
+        # modes (asserted in tests/test_explain_plans).
+        if docs_join == "auto":
+            ceiling = self.index.n_shards * max(top_k, 1) * len(qinfo)
+            docs_join = (
+                "direct"
+                if self.index.path is not None
+                and (
+                    ceiling > self.BROADCAST_CAND_CEILING
+                    or not self.index.has_flag_stream
+                )
+                else "broadcast"
+            )
+        if docs_join == "direct" and self.index.path is None:
+            raise ValueError(
+                "docs_join='direct' needs a written index (index.path); "
+                "this index is an in-memory plan"
+            )
         qmeta = self.spark.createDataFrame(
             [(qid, oq, toks) for qid, _, _, toks, oq in qinfo],
             "query_id int, original_query string, orig_tokens array<string>",
         )
-        docs_side = self.index.docs.select(
-            "shard", "docno", "doc_id", "url", "title", "description",
-            "content_snippet",
-        )
-        joined = (
-            docs_side.join(F.broadcast(candidates), ["shard", "docno"])
-            .join(F.broadcast(qmeta), "query_id")
-            .withColumn("score", F.col("raw"))
+        if docs_join == "direct":
+            fetched = self._probe_docs_direct(candidates)
+        else:
+            docs_side = self.index.docs.select(
+                "shard", "docno", "doc_id", "url", "title", "description",
+                "content_snippet",
+            )
+            fetched = docs_side.join(F.broadcast(candidates), ["shard", "docno"])
+        # then the exact shared boost chain, per-query max-normalize (Q6),
+        # threshold (F12), top-k (Q7)
+        joined = fetched.join(F.broadcast(qmeta), "query_id").withColumn(
+            "score", F.col("raw")
         )
         # Metadata is CONSUMED at the scan site by the boost expression;
         # only (query_id, shard, docno, doc_id, score) flows into the

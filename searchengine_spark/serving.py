@@ -31,6 +31,19 @@ from searchengine_spark.plans.bm25 import paginate
 from searchengine_spark.plans.classify import EXCLUDED_DOMAINS
 
 RESULTS_PER_PAGE = 10  # WEB_CONFIG['results_per_page'] (utils/config.py)
+MAX_LIMIT = 100  # request-side cap: limit drives a top_k Spark job
+MAX_PAGE = 10_000  # paginate() clamps to total_pages anyway; bound the int
+
+
+def _clamp_int(raw, default: int, lo: int, hi: int) -> int:
+    """Parse a query-string integer defensively: non-numeric → default,
+    out-of-range → clamped (negative/huge values must not reach the
+    engine or the paginator)."""
+    try:
+        val = int(raw)
+    except (TypeError, ValueError):
+        return default
+    return max(lo, min(val, hi))
 
 
 class SearchService:
@@ -123,15 +136,28 @@ def make_handler(service: SearchService):
                 if parsed.path in ("/health", "/api/health"):
                     self._json(service.health())
                 elif parsed.path == "/api/search":
-                    limit = int(qs.get("limit", [RESULTS_PER_PAGE])[0])
+                    limit = _clamp_int(
+                        qs.get("limit", [RESULTS_PER_PAGE])[0],
+                        default=RESULTS_PER_PAGE, lo=1, hi=MAX_LIMIT,
+                    )
                     self._json(service.api_search(q, limit=limit))
                 elif parsed.path == "/search":
-                    page = int(qs.get("page", ["1"])[0])
+                    page = _clamp_int(
+                        qs.get("page", ["1"])[0], default=1, lo=1, hi=MAX_PAGE
+                    )
                     self._json(service.search(q, page=page))
                 else:
                     self._json({"error": "not found"}, status=404)
-            except Exception as e:  # app.py returns 500 + error payload
-                self._json({"status": "unhealthy", "error": str(e)}, status=500)
+            except Exception:  # app.py returns 500 + error payload
+                # never echo internals (paths, plan text) to HTTP clients;
+                # log server-side, return a generic payload
+                import logging
+
+                logging.getLogger(__name__).exception("search request failed")
+                self._json(
+                    {"status": "unhealthy", "error": "internal error"},
+                    status=500,
+                )
 
     return Handler
 

@@ -82,3 +82,34 @@ def test_unknown_route_404(server):
         assert False, "expected 404"
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_hostile_query_params_are_clamped(server):
+    """Negative/huge/non-numeric limit+page must not reach the engine or
+    the paginator — they clamp to sane bounds (never a 500, never an echo
+    of internals)."""
+    q = urllib.request.quote(webgen.reference_queries()[9][1])
+    for params in ("limit=-5", "limit=99999999", "limit=abc"):
+        status, body = _get(f"{server}/api/search?q={q}&{params}")
+        assert status == 200
+        assert 0 <= body["total"] <= serving.MAX_LIMIT
+    for params in ("page=-3", "page=0", "page=notanint"):
+        status, body = _get(f"{server}/search?q={q}&{params}")
+        assert status == 200
+        assert 1 <= body["page"] <= body["total_pages"]
+
+
+def test_error_payload_never_echoes_internals(server, service, monkeypatch):
+    """A failing engine must yield a generic 500 payload — no exception
+    text (paths, Spark plan details) crosses the HTTP boundary."""
+    def boom(*a, **k):
+        raise RuntimeError("secret /internal/path leaked")
+
+    monkeypatch.setattr(service, "search", boom)
+    try:
+        urllib.request.urlopen(server + "/search?q=x", timeout=60)
+        assert False, "expected 500"
+    except urllib.error.HTTPError as e:
+        assert e.code == 500
+        body = json.loads(e.read())
+        assert body == {"status": "unhealthy", "error": "internal error"}
