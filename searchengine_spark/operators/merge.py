@@ -35,6 +35,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from searchengine_spark.config import B as _B
+from searchengine_spark.config import K1 as _K1
 from searchengine_spark.operators import codec
 from searchengine_spark.operators import shards as shards_mod
 from searchengine_spark.operators.index_build import IndexTables
@@ -204,21 +206,36 @@ def apply_tombstones(
     the in-RAM reference (rebuild-the-pickle) never had to express.
 
     ``tombstones`` is any frame with a ``doc_id`` column. The pass is a
-    per-(shard, term-bucket) decode → drop → re-encode over the block table
-    (the SAME group granularity as the build and
-    :func:`merge_block_segments`, so a delete task is bounded by
-    ~1/TERM_BUCKETS of a shard — never a whole shard, never a whole
-    head-term posting list); the kill set is replicated across a shard's
-    buckets (TERM_BUCKETS small int rows per tombstone). Every block is
-    re-encoded even in untouched shards because the corpus-level stats
-    change: ``avgdl`` enters each block's ``max_partial`` (the block-max
-    WAND bound) and ``N`` enters every idf — both are recomputed, which is
-    exactly what makes the result EXACT: querying the compacted index is
-    rank- and score-identical to querying a fresh build of the surviving
-    corpus (property-tested). Surviving docnos keep their values — scores
-    never depend on docno, and holes in the docno space are fine (shard
-    membership is unchanged, so doc-disjointness and the per-shard top-k
-    merge argument still hold).
+    per-(shard, term-bucket) walk over the block table (the SAME group
+    granularity as the build and :func:`merge_block_segments`, so a delete
+    task is bounded by ~1/TERM_BUCKETS of a shard — never a whole shard,
+    never a whole head-term posting list); the kill set is replicated
+    across a shard's buckets (TERM_BUCKETS small int rows per tombstone).
+
+    **Selective rewrite** (indexes carrying the avgdl-free (max_tf, min_dl)
+    block bounds): only blocks whose docnos intersect the kill set are
+    decoded and re-encoded — every other block passes through with its
+    posting streams BYTE-IDENTICAL (property-tested), paying a searchsorted
+    range check and, for range-overlapping blocks, one gaps decode. A
+    100-doc takedown on a 10^12-doc index therefore rewrites ~100 blocks,
+    not the index. Corpus-level stats still change everywhere — ``N`` and
+    ``avgdl`` are recomputed exactly and idf re-derives from the updated
+    per-block ``n`` — and that is still EXACT for queries because the only
+    per-block field that depends on avgdl is the WAND *upper bound*:
+    pass-through blocks get ``max_partial`` refreshed arithmetically to
+    partial(max_tf, min_dl, new avgdl) (a sound, slightly looser bound —
+    monotonicity in tf and dl), rewritten blocks get the exact block max.
+    Scoring never reads ``max_partial``, so querying the compacted index is
+    rank- and score-identical to a fresh build of the surviving corpus
+    (property-tested). Pre-bounds layouts fall back to the full
+    decode-and-re-encode of every block (round-2 behavior). Surviving
+    docnos keep their values — scores never depend on docno, and holes in
+    the docno space are fine (shard membership is unchanged, so
+    doc-disjointness and the per-shard top-k merge argument still hold).
+
+    For delete visibility WITHOUT any rewrite (O(tombstones) takedowns),
+    see :mod:`searchengine_spark.operators.tombstones` — the query-time
+    mask the engines consult; this compactor is its amortized counterpart.
 
     Field-signature sidecar rows (functions/fieldsig.py) are rewritten the
     same way (their deleted entries dropped), so the sidecar never leaks
@@ -241,13 +258,17 @@ def apply_tombstones(
             "layout: export + rebuild the index first, see shards.export_index)"
         )
     with_positions = index.with_positions
+    selective = bool(getattr(index, "has_block_bounds", False))
     tomb_ids = tombstones.select("doc_id").distinct()
     docs2 = index.docs.join(tomb_ids, "doc_id", "left_anti")
     st = docs2.agg(
-        F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
+        F.count("*").alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+        F.sum("doc_len").cast("long").alias("sum_doc_len"),
     ).collect()[0]
     n_docs2 = int(st["n_docs"])
     avgdl2 = float(st["avgdl"]) if st["avgdl"] is not None else 0.0
+    sum_dl2 = int(st["sum_doc_len"]) if st["sum_doc_len"] is not None else None
     tomb = index.docs.join(tomb_ids, "doc_id").select("shard", "docno")
     out_cols = shards_mod._BLOCK_POS_COLS if with_positions else shards_mod._BLOCK_COLS
 
@@ -267,6 +288,12 @@ def apply_tombstones(
             keep = ~np.isin(d, kill)
             if not keep.any():
                 continue
+            if keep.all():
+                # no deleted docs in this sidecar row: pass it through with
+                # its streams verbatim (sig rows carry no avgdl-dependent
+                # metadata, so nothing needs refreshing)
+                out_sig_rows.append({c: getattr(r, c) for c in out_cols})
+                continue
             d2 = d[keep].astype(np.uint64)
             w2 = w.reshape(-1, fieldsig.SIG_WORDS)[keep]
             gaps = np.empty_like(d2)
@@ -275,11 +302,13 @@ def apply_tombstones(
             row = {
                 "shard": int(r.shard),
                 "term": r.term,
-                "block_no": len(out_sig_rows),
+                "block_no": 0,  # renumbered below
                 "n": int(keep.sum()),
                 "min_docno": int(d2[0]),
                 "max_docno": int(d2[-1]),
                 "max_partial": 0.0,
+                "max_tf": 0,
+                "min_dl": 0,
                 "gaps": codec.varint_encode(gaps),
                 "tfs": codec.varint_encode(w2.astype(np.uint64).ravel()),
                 "dls": b"",
@@ -290,7 +319,51 @@ def apply_tombstones(
                 row["pgaps"] = b""
             out_sig_rows.append(row)
         bpdf = bpdf[~pseudo]
-        for (shard, term), g in bpdf.groupby(["shard", "term"], sort=False):
+
+        # selective split: a block whose docnos miss the kill set entirely
+        # passes through with posting streams verbatim. The cheap range
+        # check (sorted kill + searchsorted on block min/max) clears most
+        # blocks without touching bytes; only range-overlapping blocks pay
+        # a gaps decode for the precise membership test.
+        if selective and len(bpdf):
+            touched = np.zeros(len(bpdf), dtype=bool)
+            if kill.size:
+                lo = bpdf["min_docno"].to_numpy(dtype=np.int64)
+                hi = bpdf["max_docno"].to_numpy(dtype=np.int64)
+                i = np.searchsorted(kill, lo)
+                in_range = i < kill.size
+                nxt = kill[np.minimum(i, kill.size - 1)]
+                in_range &= nxt <= hi
+                gaps_col = bpdf.columns.get_loc("gaps")
+                for j in np.flatnonzero(in_range):
+                    d = np.cumsum(
+                        codec.varint_decode(bpdf.iat[j, gaps_col]), dtype=np.uint64
+                    ).astype(np.int64)
+                    touched[j] = bool(np.isin(d, kill).any())
+            clean = bpdf[~touched].copy()
+            dirty = bpdf[touched]
+            if len(clean):
+                # refresh the avgdl-baked WAND bound arithmetically from the
+                # avgdl-free (max_tf, min_dl) metadata: a sound (if slightly
+                # looser) upper bound under the NEW avgdl — monotone in tf,
+                # antitone in dl — with no decode and no re-encode
+                mt = clean["max_tf"].to_numpy(dtype=np.float64)
+                md = clean["min_dl"].to_numpy(dtype=np.float64)
+                denom_avgdl = avgdl2 if avgdl2 > 0 else 1.0
+                clean["max_partial"] = np.where(
+                    mt > 0,
+                    ((_K1 + 1.0) * mt)
+                    / (_K1 * (1.0 - _B + _B * md / denom_avgdl) + mt),
+                    0.0,
+                )
+        else:
+            # pre-bounds layout: max_partial bakes the OLD avgdl and cannot
+            # be refreshed without a decode, so every block re-encodes
+            # (round-2 behavior) even in shards with no tombstones
+            clean = bpdf.iloc[0:0]
+            dirty = bpdf
+
+        for (shard, term), g in dirty.groupby(["shard", "term"], sort=False):
             parts = [codec.decode_postings(r.gaps, r.tfs, r.dls) for r in g.itertuples()]
             flags = [
                 codec.varint_decode(r.fls).astype(np.int64)
@@ -319,19 +392,29 @@ def apply_tombstones(
                     )
                 cols["positions"] = [p for p, k in zip(plists, keep) if k]
             frames.append(pd.DataFrame(cols))
+        parts_out = []
+        if len(clean):
+            parts_out.append(clean[out_cols])
         if frames:
             flat = pd.concat(frames, ignore_index=True)
-            encoded = shards_mod.encode_blocks_pdf(
-                flat, avgdl2, block_size, with_positions
+            parts_out.append(
+                shards_mod.encode_blocks_pdf(flat, avgdl2, block_size, with_positions)[
+                    out_cols
+                ]
             )
-        else:
-            encoded = pd.DataFrame(columns=out_cols)
         if out_sig_rows:
-            encoded = pd.concat(
-                [encoded, pd.DataFrame(out_sig_rows, columns=out_cols)],
-                ignore_index=True,
-            )
-        return encoded
+            parts_out.append(pd.DataFrame(out_sig_rows, columns=out_cols))
+        if not parts_out:
+            return pd.DataFrame(columns=out_cols)
+        allb = pd.concat(parts_out, ignore_index=True)
+        # deterministic layout: blocks renumbered in docno order per
+        # (shard, term) — pass-through and rewritten rows interleave cleanly
+        # because blocks of one term never overlap in docno space
+        allb = allb.sort_values(["shard", "term", "min_docno"], kind="stable")
+        allb["block_no"] = (
+            allb.groupby(["shard", "term"], sort=False).cumcount().astype("int32")
+        )
+        return allb[out_cols].reset_index(drop=True)
 
     # build-granularity grouping: (shard, term-bucket) bounds each task at
     # ~1/TERM_BUCKETS of a shard; the kill set replicates across buckets
@@ -377,10 +460,12 @@ def apply_tombstones(
             term_stats=term_stats_from(blocks2),
             n_docs=n_docs2,
             avgdl=avgdl2,
+            sum_doc_len=sum_dl2,
             n_shards=index.n_shards,
             shard_size=index.shard_size,
             block_size=block_size,
             with_positions=with_positions,
+            has_flag_stream=index.has_flag_stream,
         )
 
     # write path: the expensive rewrite runs exactly once (blocks write);
@@ -407,6 +492,7 @@ def apply_tombstones(
             {
                 "n_docs": n_docs2,
                 "avgdl": avgdl2,
+                "sum_doc_len": sum_dl2,
                 "n_shards": index.n_shards,
                 "shard_size": index.shard_size,
                 "block_size": block_size,

@@ -81,7 +81,8 @@ def _assert_integral_boosts() -> None:
 
 BLOCK_SCHEMA = (
     "shard int, term string, block_no int, n int, min_docno long, max_docno long, "
-    "max_partial double, gaps binary, tfs binary, dls binary, fls binary"
+    "max_partial double, max_tf int, min_dl int, "
+    "gaps binary, tfs binary, dls binary, fls binary"
 )
 # positional layout: two extra varint streams per block — per-posting
 # position counts + delta-gapped in-document token positions (codec.py)
@@ -101,7 +102,7 @@ BROADCAST_DOCNOS_MAX_ROWS = 4_000_000  # ~50 B/row ⇒ ≤ ~200 MB
 
 _BLOCK_COLS = [
     "shard", "term", "block_no", "n", "min_docno", "max_docno",
-    "max_partial", "gaps", "tfs", "dls", "fls",
+    "max_partial", "max_tf", "min_dl", "gaps", "tfs", "dls", "fls",
 ]
 _BLOCK_POS_COLS = _BLOCK_COLS + ["pcounts", "pgaps"]
 
@@ -186,6 +187,14 @@ def encode_blocks_pdf(
 
     partial = ((k1 + 1.0) * tfs) / (k1 * (1.0 - b + b * dls / avgdl) + tfs)
     max_partial = np.maximum.reduceat(partial, bstarts)
+    # avgdl-FREE block-bound metadata: partial(tf, dl) is increasing in tf
+    # and decreasing in dl, so partial(max_tf, min_dl) computed with ANY
+    # live avgdl upper-bounds every posting in the block under that avgdl.
+    # This is what lets tombstone-masked queries and selective compaction
+    # keep exact WAND pruning after avgdl changes WITHOUT re-encoding
+    # untouched blocks (max_partial bakes the build-time avgdl in).
+    max_tf = np.maximum.reduceat(tfs, bstarts).astype(np.int32)
+    min_dl = np.minimum.reduceat(dls, bstarts).astype(np.int32)
 
     def _ranged_slices(vals: np.ndarray, lo_idx: np.ndarray, hi_idx: np.ndarray) -> list[bytes]:
         """Encode the whole value stream once; return the byte slices that
@@ -208,6 +217,8 @@ def encode_blocks_pdf(
         "min_docno": docnos[bstarts],
         "max_docno": docnos[bends - 1],
         "max_partial": max_partial,
+        "max_tf": max_tf,
+        "min_dl": min_dl,
         "gaps": _block_slices(gaps.astype(np.uint64)),
         "tfs": _block_slices(tfs_u),
         "dls": _block_slices(dls_u),
@@ -334,6 +345,16 @@ class ShardedIndex:
     # MAX_BOOST margin, so candidate volume is not O(k) per shard and the
     # phase-2 broadcast gate must not trust the tight-bound assumption
     has_flag_stream: bool = True
+    # False when the stored blocks predate the avgdl-free (max_tf, min_dl)
+    # block-bound columns: tombstone-masked queries and selective compaction
+    # then cannot recompute sound block bounds under a changed avgdl and
+    # must fall back to a full compaction rewrite
+    has_block_bounds: bool = True
+    # exact Σ doc_len over the corpus (None on legacy/in-memory-unknown
+    # layouts): lets a tombstone mask derive the surviving avgdl exactly —
+    # (sum_doc_len − Σ killed doc_len) / surviving count — instead of
+    # reconstructing the sum from the rounded stored avgdl
+    sum_doc_len: int | None = None
 
 
 def fieldsig_block_rows(sig_src: DataFrame, with_positions: bool = False) -> DataFrame:
@@ -390,6 +411,8 @@ def fieldsig_block_rows(sig_src: DataFrame, with_positions: bool = False) -> Dat
             "min_docno": [int(docnos[0])],
             "max_docno": [int(docnos[-1])],
             "max_partial": [0.0],
+            "max_tf": [0],
+            "min_dl": [0],
             "gaps": [codec.varint_encode(gaps)],
             "tfs": [codec.varint_encode(words.ravel())],
             "dls": [b""],
@@ -587,9 +610,12 @@ def shard_and_write_from_tokenized(
     already-tokenized frame (any of the stage-1 tokenizers: web pages,
     pre-extracted fields, or the text-only documents adapter)."""
     st = tokenized.agg(
-        F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
+        F.count("*").alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+        F.sum("doc_len").cast("long").alias("sum_doc_len"),
     ).collect()[0]
     n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
+    sum_doc_len = int(st["sum_doc_len"]) if st["sum_doc_len"] is not None else None
     shard_size = max(1, math.ceil(n_docs / n_shards))
 
     docnos = docnos_src = assign_docnos(spark, tokenized.select("doc_id"))
@@ -685,6 +711,7 @@ def shard_and_write_from_tokenized(
             {
                 "n_docs": n_docs,
                 "avgdl": avgdl,
+                "sum_doc_len": sum_doc_len,
                 "n_shards": n_shards,
                 "shard_size": shard_size,
                 "block_size": block_size,
@@ -717,6 +744,7 @@ def write_sharded_index(index: ShardedIndex, path: str) -> None:
     meta = {
         "n_docs": index.n_docs,
         "avgdl": index.avgdl,
+        "sum_doc_len": index.sum_doc_len,
         "n_shards": index.n_shards,
         "shard_size": index.shard_size,
         "block_size": index.block_size,
@@ -731,13 +759,22 @@ def read_sharded_index(spark: SparkSession, path: str) -> ShardedIndex:
     with open(f"{path}/meta.json") as f:
         meta = json.load(f)
     meta.setdefault("with_positions", False)
+    meta.setdefault("sum_doc_len", None)
     blocks = spark.read.parquet(f"{path}/blocks")
     has_flags = "fls" in blocks.columns
     if not has_flags:
         # index written before the boost-bound flag stream existed: empty
         # buffer = UNKNOWN, the kernel falls back to the MAX_BOOST bound
         blocks = blocks.withColumn("fls", F.lit(b""))
+    has_bounds = "max_tf" in blocks.columns
+    if not has_bounds:
+        # pre-(max_tf, min_dl) layout: NULL bounds — readable, but masked
+        # queries / selective compaction refuse (see ShardedIndex fields)
+        blocks = blocks.withColumn(
+            "max_tf", F.lit(None).cast("int")
+        ).withColumn("min_dl", F.lit(None).cast("int"))
     return ShardedIndex(
+        has_block_bounds=has_bounds,
         blocks=blocks,
         docs=spark.read.parquet(f"{path}/docs_sharded"),
         term_stats=spark.read.parquet(f"{path}/term_stats"),

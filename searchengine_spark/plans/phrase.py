@@ -82,9 +82,13 @@ def analyze_phrase(phrase: str, stopwords: frozenset[str] = DEFAULT_STOPWORDS) -
     return textproc.filter_tokens(textproc.tokenize(phrase), stopwords)
 
 
-def _phrase_kernel_factory(terms: list[str], shard_size: int):
+def _phrase_kernel_factory(
+    terms: list[str], shard_size: int, kill: np.ndarray | None = None
+):
     """Per-shard kernel: positional block rows (already filtered to the
-    phrase terms) → (shard, docno, phrase_tf) rows."""
+    phrase terms) → (shard, docno, phrase_tf) rows. ``kill`` is a sorted
+    tombstone-mask docno array (operators/tombstones): masked docs drop
+    BEFORE ranking, so a masked winner can never displace a survivor."""
     _check_shard_size(shard_size)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -112,10 +116,14 @@ def _phrase_kernel_factory(terms: list[str], shard_size: int):
                 return empty
         assert keys is not None
         local_docs, tf = np.unique(keys >> np.int64(32), return_counts=True)
+        docnos = local_docs + base
+        if kill is not None and kill.size:
+            alive = ~np.isin(docnos, kill)
+            docnos, tf = docnos[alive], tf[alive]
         return pd.DataFrame(
             {
-                "shard": np.full(local_docs.size, shard, dtype=np.int32),
-                "docno": local_docs + base,
+                "shard": np.full(docnos.size, shard, dtype=np.int32),
+                "docno": docnos,
                 "phrase_tf": tf.astype(np.int64),
             }
         )
@@ -129,6 +137,7 @@ def phrase_match_sharded(
     phrase: str,
     top_k: int | None = 50,
     terms: list[str] | None = None,
+    mask=None,
 ) -> DataFrame:
     """Exact phrase query over a positional :class:`ShardedIndex`.
 
@@ -152,7 +161,9 @@ def phrase_match_sharded(
         return spark.createDataFrame(
             [], "doc_id string, url string, content_snippet string, phrase_tf long"
         )
-    kernel = _phrase_kernel_factory(terms, index.shard_size)
+    kernel = _phrase_kernel_factory(
+        terms, index.shard_size, kill=mask.killed if mask is not None else None
+    )
     matches = (
         index.blocks.filter(F.col("term").isin(list(set(terms))))
         .groupBy("shard")
@@ -180,6 +191,7 @@ def phrase_batch_sharded(
     index,
     batch: list[tuple[int, str]],
     top_k: int = 50,
+    mask=None,
 ) -> DataFrame:
     """Batched phrase queries: ONE pruned blocks scan + ONE per-shard
     kernel pass answers every phrase (the batch analog of
@@ -199,8 +211,9 @@ def phrase_batch_sharded(
             "content_snippet string, phrase_tf long",
         )
     all_terms = sorted({t for terms in phrases.values() for t in terms})
+    kill = mask.killed if mask is not None else None
     kernels = {
-        qid: _phrase_kernel_factory(terms, index.shard_size)
+        qid: _phrase_kernel_factory(terms, index.shard_size, kill=kill)
         for qid, terms in phrases.items()
     }
 

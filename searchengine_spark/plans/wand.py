@@ -147,18 +147,41 @@ _CAND_SCHEMA = "query_id int, shard int, docno long, raw double, lb double, ub d
 
 
 def _phase1_kernel(
-    blocks_pdf: pd.DataFrame, qinfo, avgdl: float, k: int, prune: bool
+    blocks_pdf: pd.DataFrame,
+    qinfo,
+    avgdl: float,
+    k: int,
+    prune: bool,
+    kill: np.ndarray | None = None,
+    live_bounds: bool = False,
 ) -> pd.DataFrame:
     """One shard's block-max WAND pass (pure numpy/pandas; see module doc):
     block-UB pruning seeded with raw scores, exact raw scoring of surviving
     blocks, then candidate emission under per-doc flag-derived boost bounds
-    against the shard's kth-largest boosted lower bound."""
+    against the shard's kth-largest boosted lower bound.
+
+    ``kill`` is a sorted tombstone-mask docno array (operators/tombstones):
+    masked docs are excluded from θ seeding, scoring, and emission, so a
+    delete is live the moment the mask exists. ``live_bounds`` switches the
+    per-block upper bound from the stored ``max_partial`` (exact, but baked
+    with the BUILD-time avgdl) to partial(max_tf, min_dl) computed with the
+    ``avgdl`` argument — required whenever the scoring avgdl differs from
+    the baked one (a masked query), sound because partial is monotone in tf
+    and antitone in dl."""
     if len(blocks_pdf) == 0:
         return pd.DataFrame(columns=["query_id", "shard", "docno", "raw", "lb", "ub"])
     blocks_pdf = blocks_pdf.reset_index(drop=True)
     shard = int(blocks_pdf["shard"].iloc[0])
     has_flags = "fls" in blocks_pdf.columns
     decode_cache: dict[int, tuple] = {}
+    # slice the global kill set to this shard's docno range once
+    kill_sh = None
+    if kill is not None and kill.size:
+        lo = int(blocks_pdf["min_docno"].min())
+        hi = int(blocks_pdf["max_docno"].max())
+        kill_sh = kill[np.searchsorted(kill, lo) : np.searchsorted(kill, hi, side="right")]
+        if kill_sh.size == 0:
+            kill_sh = None
 
     def decoded(i: int):
         if i not in decode_cache:
@@ -226,10 +249,16 @@ def _phase1_kernel(
         for ti, t in enumerate(terms):
             g = by_term[t].sort_values("min_docno")
             w = weights[t]
+            if live_bounds:
+                mt = g["max_tf"].to_numpy(dtype=np.float64)
+                md = g["min_dl"].to_numpy(dtype=np.float64)
+                bnd = ((K1 + 1.0) * mt) / (K1 * (1.0 - B + B * md / avgdl) + mt)
+            else:
+                bnd = g["max_partial"].to_numpy(dtype=np.float64)
             per_term[ti] = (
                 g["min_docno"].to_numpy(dtype=np.int64),
                 g["max_docno"].to_numpy(dtype=np.int64),
-                w * g["max_partial"].to_numpy(dtype=np.float64),
+                w * bnd,
                 g.index.to_numpy(),
             )
             t_idx.extend([ti] * len(g))
@@ -329,7 +358,7 @@ def _phase1_kernel(
                 if mins_a[i] <= hi and maxs_a[i] >= lo
             ]
             seed_docnos = decoded(int(row_pos[b_star]))[0]
-            du, su = score_docnos(overlapping, restrict=seed_docnos)
+            du, su = score_docnos(overlapping, restrict=seed_docnos, killed=kill_sh)
             if su.size >= k:
                 theta = float(np.partition(su, -k)[-k])
 
@@ -344,6 +373,10 @@ def _phase1_kernel(
             if dropped.size
             else np.empty(0, np.int64)
         )
+        if kill_sh is not None:
+            # tombstone-masked docs are dead everywhere: out of scoring,
+            # out of emission, out of the θ statistics
+            killed = np.union1d(killed, kill_sh) if killed.size else kill_sh
         du, su, eu = score_docnos(kept, killed=killed, with_bounds=True)
         if du.size == 0:
             continue
@@ -491,12 +524,61 @@ def _phase1_kernel(
 
 
 class WandSearchEngine:
-    """Batched exact top-k over a :class:`ShardedIndex` via block-max WAND."""
+    """Batched exact top-k over a :class:`ShardedIndex` via block-max WAND.
 
-    def __init__(self, spark: SparkSession, index):
+    ``mask`` (operators/tombstones.TombstoneMask) makes deletes live with
+    NO index rewrite: the kernels drop masked docnos, block bounds
+    recompute from the avgdl-free (max_tf, min_dl) metadata under the
+    surviving avgdl, and per-query-term df is corrected by counting killed
+    postings in the (already pruned) query-term blocks — so a masked query
+    is rank- and score-identical to a fresh build of the survivors."""
+
+    def __init__(self, spark: SparkSession, index, mask=None):
         self.spark = spark
         self.index = index
-        self.avgdl = float(index.avgdl)
+        self.mask = mask
+        if mask is not None:
+            if not getattr(index, "has_block_bounds", False):
+                raise ValueError(
+                    "tombstone-masked queries need the avgdl-free "
+                    "(max_tf, min_dl) block bounds; this index predates "
+                    "them — compact (apply_tombstones) or rebuild instead"
+                )
+            self.avgdl = float(mask.avgdl)
+        else:
+            self.avgdl = float(index.avgdl)
+
+    def _killed_df(self, term_list) -> dict[str, int]:
+        """Per query term, how many of its postings the mask kills — the df
+        correction a masked query needs for exact idf. One pruned pass over
+        the query terms' blocks (gaps stream only), never an index scan."""
+        kill = self.mask.killed
+        if kill.size == 0:
+            return {}
+
+        def count_killed(batches):
+            for pdf in batches:
+                terms_out, counts = [], []
+                for r in pdf.itertuples(index=False):
+                    d = np.cumsum(
+                        codec.varint_decode(r.gaps), dtype=np.uint64
+                    ).astype(np.int64)
+                    c = int(np.isin(d, kill).sum())
+                    if c:
+                        terms_out.append(r.term)
+                        counts.append(c)
+                if terms_out:
+                    yield pd.DataFrame({"term": terms_out, "killed": counts})
+
+        rows = (
+            self.index.blocks.filter(F.col("term").isin(list(term_list)))
+            .select("term", "gaps")
+            .mapInPandas(count_killed, "term string, killed long")
+            .groupBy("term")
+            .agg(F.sum("killed").alias("killed"))
+            .collect()
+        )
+        return {r["term"]: int(r["killed"]) for r in rows}
 
     def _analyze(self, queries, stopwords):
         """Driver-side: per-query term weights w = idf·mult·importance plus
@@ -512,12 +594,33 @@ class WandSearchEngine:
         if not analyzed:
             return None, []
         term_list = sorted(all_terms)
-        idf = {
-            r["term"]: float(r["idf"])
-            for r in self.index.term_stats.filter(F.col("term").isin(term_list))
-            .select("term", "idf")
-            .collect()
-        }
+        if self.mask is None:
+            idf = {
+                r["term"]: float(r["idf"])
+                for r in self.index.term_stats.filter(F.col("term").isin(term_list))
+                .select("term", "idf")
+                .collect()
+            }
+        else:
+            # masked idf: df' = df − killed postings, N' = surviving count —
+            # the same formula a fresh build of the survivors would store.
+            # A term whose every posting is masked vanishes from the
+            # vocabulary (absent from idf), exactly as in a fresh build.
+            import math as _math
+
+            base_df = {
+                r["term"]: int(r["df"])
+                for r in self.index.term_stats.filter(F.col("term").isin(term_list))
+                .select("term", "df")
+                .collect()
+            }
+            killed_df = self._killed_df(term_list)
+            n2 = float(self.mask.n_docs)
+            idf = {}
+            for t, df0 in base_df.items():
+                dfp = df0 - killed_df.get(t, 0)
+                if dfp > 0:
+                    idf[t] = max(0.0, _math.log((n2 - dfp + 0.5) / (dfp + 0.5)))
         qinfo = []
         for qid, (term_mult, orig_tokens, original_query) in analyzed.items():
             weights = {}
@@ -548,11 +651,16 @@ class WandSearchEngine:
         """Phase 1: per-shard block-max WAND over posting blocks only →
         candidate (query_id, shard, docno, raw) rows (see module doc)."""
         k = top_k
-        avgdl = self.avgdl  # plain float local: the kernel closure must not
-        # capture self (it holds the SparkSession, which cannot ship to workers)
+        # plain locals: the kernel closure must not capture self (it holds
+        # the SparkSession, which cannot ship to workers)
+        avgdl = self.avgdl
+        kill = self.mask.killed if self.mask is not None else None
+        live_bounds = self.mask is not None
 
         def kernel(blocks_pdf: pd.DataFrame) -> pd.DataFrame:
-            return _phase1_kernel(blocks_pdf, qinfo, avgdl, k, prune)
+            return _phase1_kernel(
+                blocks_pdf, qinfo, avgdl, k, prune, kill, live_bounds
+            )
 
         # term IN-list prunes the blocks scan (row-group stats on term);
         # explicit column select prunes the positional streams (pcounts/

@@ -108,3 +108,121 @@ def test_positional_tombstones_preserve_phrases(spark, tmp_path_factory):
         for r in phrase.phrase_match_sharded(spark, compacted, q, top_k=50).collect()
     }
     assert want == got
+
+
+def test_mask_stats_exact(spark, corpora):
+    """build_mask derives the surviving N/avgdl arithmetically — they must
+    equal a fresh build's stats exactly (meta carries Σdoc_len)."""
+    from searchengine_spark.operators import tombstones
+
+    full, fresh, _compacted, tomb_ids = corpora
+    mask = tombstones.build_mask(spark, full, tomb_ids)
+    assert mask.n_docs == fresh.n_docs
+    assert mask.avgdl == pytest.approx(fresh.avgdl, abs=1e-12)
+    assert mask.killed.size == full.n_docs - fresh.n_docs > 0
+
+
+def test_masked_query_identical_to_fresh_build(spark, corpora):
+    """THE O(tombstones) delete property: querying the FULL index through a
+    tombstone mask — no rewrite, no compaction — is rank- and
+    score-identical to a fresh build of the survivors (df/idf/N/avgdl and
+    the block bounds all corrected at query time)."""
+    from searchengine_spark.operators import tombstones
+
+    full, fresh, _compacted, tomb_ids = corpora
+    mask = tombstones.build_mask(spark, full, tomb_ids)
+    queries = webgen.reference_queries()
+    want = WandSearchEngine(spark, fresh).search_batch(queries, top_k=10)
+    got = WandSearchEngine(spark, full, mask=mask).search_batch(queries, top_k=10)
+    cols = ["query_id", "rank", "doc_id", "score"]
+    w = [tuple(r) for r in want.select(*cols).orderBy("query_id", "rank").collect()]
+    g = [tuple(r) for r in got.select(*cols).orderBy("query_id", "rank").collect()]
+    assert [x[:3] for x in w] == [x[:3] for x in g]
+    for (_, _, _, s1), (_, _, _, s2) in zip(w, g):
+        assert abs(s1 - s2) <= 1e-9 * max(abs(s1), abs(s2), 1.0)
+
+
+def test_mask_requires_block_bounds(spark, corpora):
+    import dataclasses
+
+    from searchengine_spark.operators import tombstones
+
+    full, _fresh, _compacted, tomb_ids = corpora
+    legacy = dataclasses.replace(full, has_block_bounds=False)
+    with pytest.raises(ValueError, match="block "):
+        tombstones.build_mask(spark, legacy, tomb_ids)
+    mask = tombstones.build_mask(spark, full, tomb_ids)
+    with pytest.raises(ValueError, match="block "):
+        WandSearchEngine(spark, legacy, mask=mask)
+
+
+def test_mask_cap_enforced(spark, corpora):
+    from searchengine_spark.operators import tombstones
+
+    full, _fresh, _compacted, tomb_ids = corpora
+    with pytest.raises(ValueError, match="compacted"):
+        tombstones.build_mask(spark, full, tomb_ids, max_tombstones=1)
+
+
+def test_selective_compaction_touches_only_killed_blocks(spark, corpora):
+    """Compaction must pass every block with no masked docno through with
+    BYTE-IDENTICAL posting streams — a 100-doc takedown rewrites ~100
+    blocks, not the index."""
+    full, _fresh, compacted, tomb_ids = corpora
+    killed = {
+        r["docno"]
+        for r in full.docs.join(tomb_ids, "doc_id").select("docno").collect()
+    }
+    before = {}
+    n_dirty = 0
+    for r in full.blocks.toPandas().itertuples():
+        d = np.cumsum(codec.varint_decode(r.gaps), dtype=np.uint64).astype(np.int64)
+        if set(d.tolist()) & killed:
+            n_dirty += 1
+        else:
+            before[(r.shard, r.term, int(d[0]))] = (r.gaps, r.tfs, r.dls)
+    assert n_dirty > 0 and before
+    matched = 0
+    for r in compacted.blocks.toPandas().itertuples():
+        d = np.cumsum(codec.varint_decode(r.gaps), dtype=np.uint64).astype(np.int64)
+        key = (r.shard, r.term, int(d[0]))
+        if key in before:
+            assert (r.gaps, r.tfs, r.dls) == before[key], key
+            matched += 1
+    # every clean block survived verbatim (dirty re-encodes can merge into
+    # fresh block cuts, so only clean blocks are asserted one-to-one)
+    assert matched == len(before), (matched, len(before))
+
+
+def test_masked_phrase_matches_fresh(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators import tombstones
+    from searchengine_spark.plans import phrase
+
+    base = tmp_path_factory.mktemp("tombmaskpos")
+    pages = webgen.generate_spark(spark, n_docs=150, partitions=2)
+    kill_urls = pages.filter(F.pmod(F.xxhash64("url"), F.lit(5)) == 0).select("url")
+    survivors = pages.join(kill_urls, "url", "left_anti")
+    full = shards.build_and_write_sharded(
+        spark, pages, str(base / "full"), n_shards=2, with_positions=True
+    )
+    fresh = shards.build_and_write_sharded(
+        spark, survivors, str(base / "fresh"), n_shards=2, with_positions=True
+    )
+    tomb_ids = full.docs.join(
+        fresh.docs.select("doc_id"), "doc_id", "left_anti"
+    ).select("doc_id")
+    mask = tombstones.build_mask(spark, full, tomb_ids)
+    q = "search engine"
+    want = {
+        (r["doc_id"], r["phrase_tf"])
+        for r in phrase.phrase_match_sharded(spark, fresh, q, top_k=50).collect()
+    }
+    got = {
+        (r["doc_id"], r["phrase_tf"])
+        for r in phrase.phrase_match_sharded(
+            spark, full, q, top_k=50, mask=mask
+        ).collect()
+    }
+    assert want == got
