@@ -227,13 +227,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="store token positions in posting blocks (phrase queries); sharded only")
     b.add_argument("--sharded", action="store_true",
                    help="one-pass compressed sharded build (production path)")
-    b.add_argument("--shards", type=int, default=16)
+    b.add_argument("--shards", type=int, default=None, help="explicit shard count (default: docs-per-shard policy)")
     b.set_defaults(fn=cmd_build)
 
     o = sub.add_parser("optimize", help="logical index → sharded compressed blocks")
     o.add_argument("--index", required=True)
     o.add_argument("--out", required=True)
-    o.add_argument("--shards", type=int, default=16)
+    o.add_argument("--shards", type=int, default=None, help="explicit shard count (default: docs-per-shard policy)")
     o.add_argument("--block-size", type=int, default=128)
     o.set_defaults(fn=cmd_optimize)
 

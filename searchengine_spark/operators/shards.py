@@ -91,6 +91,20 @@ BLOCK_POS_SCHEMA = BLOCK_SCHEMA + ", pcounts binary, pgaps binary"
 DEFAULT_BLOCK_SIZE = 128
 TERM_BUCKETS = 8
 
+# Auto-sharding policy: the DEFAULT is a constant docs-per-shard TARGET with
+# n_shards derived (n_shards=None), NOT a constant shard count — a fixed
+# n_shards=16 at 10^12 docs would make 6×10^10-doc shards, an un-runnable
+# task. 4M docs/shard ≈ 7×10^8 postings/shard at ~180 postings/doc, and the
+# encode/query kernels group by (shard, term-bucket) = 1/TERM_BUCKETS of
+# that — comfortably inside one task's memory — while staying far below the
+# positional kernels' 2^31 docs/shard key-packing ceiling (plans/phrase.py).
+# Explicit n_shards remains available for benchmarks and tests.
+DEFAULT_DOCS_PER_SHARD = 4_000_000
+
+
+def derive_n_shards(n_docs: int) -> int:
+    return max(1, math.ceil(n_docs / DEFAULT_DOCS_PER_SHARD))
+
 # Explicit broadcast hints are gated on estimated BYTES, not bare row count:
 # the lowered title/desc/snippet dimension is ~350 B/row and the
 # (doc_id, docno) mapping ~50 B/row, so these caps keep a forced broadcast
@@ -429,13 +443,17 @@ def fieldsig_block_rows(sig_src: DataFrame, with_positions: bool = False) -> Dat
 def build_sharded_index(
     spark: SparkSession,
     tables: IndexTables,
-    n_shards: int = 16,
+    n_shards: int | None = None,
     block_size: int = DEFAULT_BLOCK_SIZE,
     docnos: DataFrame | None = None,
     shard_size: int | None = None,
     avgdl: float | None = None,
 ) -> ShardedIndex:
     """Logical index tables → sharded block-compressed physical index.
+
+    ``n_shards=None`` derives the count from the docs-per-shard policy
+    (:func:`derive_n_shards`), so shard task size stays constant as the
+    corpus grows; pass an explicit count to override.
 
     ``shard_size``/``avgdl`` overrides let a *segment* build share the
     global docno→shard mapping and corpus avgdl (operators/merge.py): a
@@ -446,6 +464,8 @@ def build_sharded_index(
     n_docs = int(stats["n_docs"])
     if avgdl is None:
         avgdl = float(stats["avgdl"])
+    if n_shards is None:
+        n_shards = derive_n_shards(n_docs)
     if shard_size is None:
         shard_size = max(1, math.ceil(n_docs / n_shards))
 
@@ -545,7 +565,7 @@ def build_and_write_sharded(
     spark: SparkSession,
     pages: DataFrame,
     path: str,
-    n_shards: int = 16,
+    n_shards: int | None = None,
     block_size: int = DEFAULT_BLOCK_SIZE,
     use_precomputed_text: bool = True,
     resumable: bool = False,
@@ -602,13 +622,14 @@ def shard_and_write_from_tokenized(
     spark: SparkSession,
     tokenized: DataFrame,
     path: str,
-    n_shards: int = 16,
+    n_shards: int | None = None,
     block_size: int = DEFAULT_BLOCK_SIZE,
     with_positions: bool = False,
 ) -> ShardedIndex:
     """Stages 2-4 of :func:`build_and_write_sharded`, starting from an
     already-tokenized frame (any of the stage-1 tokenizers: web pages,
-    pre-extracted fields, or the text-only documents adapter)."""
+    pre-extracted fields, or the text-only documents adapter).
+    ``n_shards=None`` → the docs-per-shard policy (:func:`derive_n_shards`)."""
     st = tokenized.agg(
         F.count("*").alias("n_docs"),
         F.avg("doc_len").alias("avgdl"),
@@ -616,6 +637,8 @@ def shard_and_write_from_tokenized(
     ).collect()[0]
     n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
     sum_doc_len = int(st["sum_doc_len"]) if st["sum_doc_len"] is not None else None
+    if n_shards is None:
+        n_shards = derive_n_shards(n_docs)
     shard_size = max(1, math.ceil(n_docs / n_shards))
 
     docnos = docnos_src = assign_docnos(spark, tokenized.select("doc_id"))

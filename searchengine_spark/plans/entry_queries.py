@@ -1137,21 +1137,65 @@ def q_wand_stemmed_topk(spark, sf_dir) -> DataFrame:
 
 def q_multimodal_features(spark, sf_dir) -> DataFrame:
     """Multimodal plumbing over a deterministic synthetic media table
-    (binary column + typed metadata): Arrow feature extraction + per-type
-    aggregate. Rows-only (the byte-level featurizer is not SQL)."""
+    (binary column + typed metadata), end to end under the DuckDB hash
+    gate: the Arrow featurizer pass emits its SQL-expressible core (byte
+    length, magic-byte tag, md5 digest prefix) alongside the float feature
+    vector, and the frame sampler's per-media frame count rides the same
+    result — so both mapInPandas operators are value-checked against the
+    oracle. Only the import-gated real decode (sources/multimodal.py
+    decode_media) stays outside SQL."""
     from searchengine_spark.sources import multimodal
 
     media = multimodal.synth_media_from_documents(_documents(spark, sf_dir))
     feats = multimodal.extract_features(media)
+    n_frames = (
+        multimodal.sample_frames(media)
+        .groupBy("media_id")
+        .agg(F.count("*").cast("long").alias("n_frames"))
+    )
     return (
-        feats.groupBy("media_type")
-        .agg(
-            F.count("*").alias("n_media"),
-            F.round(F.avg(F.element_at("features", 1)), 6).alias("avg_f0"),
+        feats.join(n_frames, "media_id", "left")
+        .select(
+            "media_id",
+            "media_type",
+            F.col("n_bytes").cast("long").alias("n_bytes"),
+            "magic_hex",
+            "md5_prefix",
+            F.coalesce(F.col("n_frames"), F.lit(0)).cast("long").alias("n_frames"),
         )
-        .orderBy("media_type")
+        .orderBy("media_id")
     )
 
+
+# DuckDB twin of q_multimodal_features: the synthetic media bytes are the
+# utf-8 encoding of documents.text (sources/multimodal.py), so byte length /
+# magic byte / md5 / frame count are all exactly derivable in SQL. hex() and
+# md5() semantics verified: DuckDB hex(BLOB) is uppercase (matches the Arrow
+# pass's %02X) and md5(VARCHAR) hashes the utf-8 bytes in lowercase hex.
+SQL_MULTIMODAL_FEATURES = """
+WITH m AS (
+  SELECT
+    doc_id AS media_id,
+    CASE CAST(doc_id % 3 AS INTEGER)
+      WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+    encode(text) AS data,
+    text
+  FROM documents
+)
+SELECT
+  media_id,
+  media_type,
+  CAST(octet_length(data) AS BIGINT) AS n_bytes,
+  CASE WHEN octet_length(data) = 0 THEN '' ELSE substr(hex(data), 1, 2) END
+    AS magic_hex,
+  substr(md5(text), 1, 8) AS md5_prefix,
+  CAST(
+    CASE WHEN octet_length(data) = 0 THEN 0
+         ELSE (CAST(ceil(octet_length(data) / 256.0) AS BIGINT) + 1) // 2 END
+    AS BIGINT) AS n_frames
+FROM m
+ORDER BY media_id
+"""
 
 QUERIES = {
     "doc_token_stats": q_doc_token_stats,
@@ -1218,5 +1262,7 @@ ORACLE_SQL = {
     # table (__spark_entry__.oracle_sql() runs the materializer first)
     "bm25_stemmed_topk": SQL_BM25_STEMMED_TOPK,
     "wand_stemmed_topk": SQL_WAND_STEMMED_TOPK,
-    # multimodal_features: no SQL oracle (byte-level featurizer) — rows-only.
+    # the featurizer's SQL-expressible core + frame counts; only the
+    # import-gated real decode (multimodal.decode_media) stays un-oracled
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
 }

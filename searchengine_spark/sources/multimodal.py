@@ -63,6 +63,12 @@ _FEATURES_SCHEMA = StructType(
         StructField("media_id", LongType()),
         StructField("media_type", StringType()),
         StructField("features", ArrayType(FloatType())),
+        # the featurizer's SQL-expressible core, emitted from the SAME Arrow
+        # pass so the driver's DuckDB oracle can hash-check this operator
+        # (the float feature vector itself is not SQL; these columns are)
+        StructField("n_bytes", LongType()),
+        StructField("magic_hex", StringType()),  # first media byte, %02X
+        StructField("md5_prefix", StringType()),  # md5(bytes) hex[:8]
     ]
 )
 
@@ -127,18 +133,27 @@ def _byte_features(data: bytes) -> np.ndarray:
 
 
 def extract_features(media: DataFrame) -> DataFrame:
-    """media table → (media_id, media_type, features[FEATURE_DIM]).
-    Map-only Arrow pass; no shuffle."""
+    """media table → (media_id, media_type, features[FEATURE_DIM], n_bytes,
+    magic_hex, md5_prefix). Map-only Arrow pass; no shuffle. The trailing
+    three columns are the featurizer's SQL-expressible core (byte length,
+    magic-byte tag, content digest prefix) computed in the same pass —
+    they put this operator under the driver's independent DuckDB hash
+    check; only the import-gated real decode stays un-oracled."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            blobs = [bytes(b) if b is not None else b"" for b in pdf["media"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
-                    "features": [
-                        _byte_features(bytes(b) if b is not None else b"")
-                        for b in pdf["media"]
+                    "features": [_byte_features(b) for b in blobs],
+                    "n_bytes": [len(b) for b in blobs],
+                    "magic_hex": [
+                        f"{b[0]:02X}" if b else "" for b in blobs
+                    ],
+                    "md5_prefix": [
+                        hashlib.md5(b).hexdigest()[:8] for b in blobs
                     ],
                 }
             )

@@ -129,3 +129,29 @@ def test_sharded_write_read_roundtrip(spark, sharded, tmp_path_factory):
     pd.testing.assert_frame_equal(
         _decoded_postings(loaded), _decoded_postings(sharded)
     )
+
+
+def test_shard_invariance_high_shard_count(spark, spark_index, docnos, sharded):
+    """Auto-sharding policy arm (round-3): the decoded posting multiset must
+    stay identical at n_shards=256 (shard_size≈2 here — far past any layout
+    assumption that shards are big), so deriving n_shards from a constant
+    docs-per-shard target at 10^12 docs changes layout only, never data."""
+    many = shards.build_sharded_index(
+        spark, spark_index, n_shards=256, block_size=32, docnos=docnos
+    )
+    assert many.n_shards == 256 and many.shard_size >= 1
+    pd.testing.assert_frame_equal(_decoded_postings(many), _decoded_postings(sharded))
+
+
+def test_default_shard_count_is_docs_per_shard_policy(spark, spark_index, docnos):
+    """n_shards=None derives from DEFAULT_DOCS_PER_SHARD: a fixed default
+    shard count would make 6×10^10-doc shards at 10^12 docs."""
+    auto = shards.build_sharded_index(spark, spark_index, docnos=docnos)
+    n = spark_index.stats.collect()[0]["n_docs"]
+    assert auto.n_shards == shards.derive_n_shards(n)
+    # policy math at the scales that matter
+    assert shards.derive_n_shards(10**12) == 250_000
+    assert shards.derive_n_shards(1) == 1
+    assert (
+        10**12 / shards.derive_n_shards(10**12) <= shards.DEFAULT_DOCS_PER_SHARD
+    )
