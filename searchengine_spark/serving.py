@@ -22,6 +22,9 @@ thread-safe under ``ThreadingHTTPServer``.
 from __future__ import annotations
 
 import json
+import queue
+import threading
+import time
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -46,17 +49,109 @@ def _clamp_int(raw, default: int, lo: int, hi: int) -> int:
     return max(lo, min(val, hi))
 
 
+class _MicroBatcher:
+    """Micro-batching front for concurrent serving: requests arriving
+    within ``window_ms`` of each other dispatch as ONE ``search_batch``
+    Spark plan and demux by query_id.
+
+    Why: the engine's per-batch cost is fixed stage overhead, not per-query
+    work (measured 264 → 29-35 ms/query going 1 → 210+ queries per batch,
+    BASELINE.md) — per-request dispatch leaves that amortization unused,
+    which is exactly how the reference serializes requests on one worker
+    (app.py:111-194). Per-request results are UNCHANGED by batching:
+    scores max-normalize and rank per query_id, so a query scores the same
+    alone or among 200 others (asserted in tests/test_serving.py).
+    """
+
+    def __init__(self, engine, window_ms: float, max_batch: int = 256):
+        self.engine = engine
+        self.window = window_ms / 1000.0
+        self.max_batch = max_batch
+        self.batches_dispatched = 0  # observability + test hook
+        self._q: queue.Queue = queue.Queue()
+        self._stop = False
+        self._thread = threading.Thread(
+            target=self._loop, name="search-microbatch", daemon=True
+        )
+        self._thread.start()
+
+    def submit(self, query: str, top_k: int, timeout: float = 300.0) -> list:
+        done = threading.Event()
+        slot: dict = {"done": done}
+        self._q.put((query, top_k, slot))
+        if not done.wait(timeout=timeout):
+            raise TimeoutError("micro-batch dispatch timed out")
+        if "err" in slot:
+            raise slot["err"]
+        return slot["rows"]
+
+    def close(self) -> None:
+        self._stop = True
+        self._thread.join(timeout=5)
+
+    def _loop(self) -> None:
+        while not self._stop:
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.monotonic() + self.window
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            self._dispatch(batch)
+
+    def _dispatch(self, batch: list) -> None:
+        self.batches_dispatched += 1
+        try:
+            res = self.engine.search_batch(
+                [(i, q) for i, (q, _k, _s) in enumerate(batch)],
+                top_k=max(k for _q, k, _s in batch),
+            )
+            by_qid: dict[int, list] = {}
+            if res is not None:
+                for r in res.orderBy("query_id", "rank").collect():
+                    by_qid.setdefault(int(r["query_id"]), []).append(r)
+        except Exception as e:  # fan the failure out to every waiter
+            for _q, _k, slot in batch:
+                slot["err"] = e
+                slot["done"].set()
+            return
+        for i, (_q, k, slot) in enumerate(batch):
+            slot["rows"] = by_qid.get(i, [])[:k]
+            slot["done"].set()
+
+
 class SearchService:
     """Engine façade the HTTP layer calls; usable directly in tests/CLI.
 
     ``engine`` is a BM25SearchEngine or WandSearchEngine (same
     ``search_batch`` contract). Health counts are collected once at init
-    (two scalar jobs) — the reference reads len() of its in-RAM dicts."""
+    (two scalar jobs) — the reference reads len() of its in-RAM dicts.
 
-    def __init__(self, spark: SparkSession, engine, search_mode: str = "bm25"):
+    ``batch_window_ms > 0`` routes requests through a :class:`_MicroBatcher`
+    so concurrent clients share one Spark plan per window; 0 keeps the
+    direct per-request dispatch."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        engine,
+        search_mode: str = "bm25",
+        batch_window_ms: float = 0.0,
+    ):
         self.spark = spark
         self.engine = engine
         self.search_mode = search_mode
+        self.batcher = (
+            _MicroBatcher(engine, batch_window_ms) if batch_window_ms > 0 else None
+        )
         tables = getattr(engine, "tables", None)
         index = getattr(engine, "index", None)
         if tables is not None:
@@ -92,11 +187,13 @@ class SearchService:
         }
 
     def _ranked(self, query: str, top_k: int) -> list[dict]:
-        res = self.engine.search_batch([(0, query)], top_k=top_k)
-        if res is None:
-            return []
+        if self.batcher is not None:
+            rows = self.batcher.submit(query, top_k)
+        else:
+            res = self.engine.search_batch([(0, query)], top_k=top_k)
+            rows = [] if res is None else res.orderBy("rank").collect()
         out = []
-        for r in res.orderBy("rank").collect():
+        for r in rows:
             url = (r["url"] or "").lower()
             # F11 (app.py:136-154): front-end substring domain filter
             if any(d in url for d in EXCLUDED_DOMAINS):

@@ -113,3 +113,27 @@ def test_error_payload_never_echoes_internals(server, service, monkeypatch):
         assert e.code == 500
         body = json.loads(e.read())
         assert body == {"status": "unhealthy", "error": "internal error"}
+
+
+def test_microbatched_concurrent_requests(spark, service):
+    """N concurrent requests within the batching window must execute as
+    ≤2 Spark batches (one window plus at most one straggler) with
+    per-request results IDENTICAL to unbatched dispatch — the serving-side
+    use of the engine's batch amortization (264 → ~30 ms/query measured).
+    Reference analog: app.py:111-194 serializes requests on one worker."""
+    import concurrent.futures
+
+    batched = serving.SearchService(
+        spark, service.engine, batch_window_ms=300.0
+    )
+    queries = [webgen.reference_queries()[i][1] for i in (3, 5, 7, 9, 11, 13)]
+    want = [service.api_search(q, limit=5) for q in queries]
+
+    before = batched.batcher.batches_dispatched
+    with concurrent.futures.ThreadPoolExecutor(max_workers=len(queries)) as ex:
+        got = list(ex.map(lambda q: batched.api_search(q, limit=5), queries))
+    dispatched = batched.batcher.batches_dispatched - before
+    batched.batcher.close()
+
+    assert 1 <= dispatched <= 2, dispatched
+    assert got == want
