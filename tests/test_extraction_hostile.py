@@ -163,6 +163,60 @@ def test_hostile_extraction(name, html, expected, _why):
     assert extract_text_from_html(html) == expected
 
 
+# -- Known divergences from real bs4+lxml, FROZEN under test -----------------
+# bs4/lxml cannot be installed here, so these cases pin OUR current output
+# (first expectation) while recording what BeautifulSoup(lxml) would return
+# (second) and why. The list is the complete known-divergence inventory; a
+# change in our output OR a new divergence class must touch this table. If
+# bs4+lxml ever becomes installable, flip each case's expectation to the
+# bs4 column and fix the extractor (SURVEY §7's original plan).
+DIVERGENCE_PINS = [
+    (
+        "unclosed_nav_not_closed_by_parent_end",
+        "<div><nav>menu<p>items</div>after</div>tail",
+        "",  # ours: drop-depth only decrements on a matching </nav>
+        "aftertail",  # bs4(lxml): </div> force-closes the open nav subtree
+        "libxml2 closes an unclosed child when its PARENT closes; the "
+        "event-driven twin has no element stack, so the nav swallows to "
+        "EOF — over-dropping (loses text, never leaks dropped text)",
+    ),
+    (
+        "legacy_entity_without_semicolon",
+        "price &notit; here",
+        "price ¬it; here",  # ours: html.unescape applies HTML5 legacy
+        "price &notit; here",  # bs4(lxml): requires the semicolon form
+        "convert_charrefs uses the HTML5 legacy table (&not → ¬ even "
+        "mid-word, no semicolon); libxml2 decodes only ';'-terminated "
+        "known entities",
+    ),
+    (
+        "uppercase_entity_without_semicolon",
+        "<p>a &LT b</p>",
+        "a < b",  # ours: &LT is in the HTML5 legacy table
+        "a &LT b",  # bs4(lxml): case-sensitive, semicolon required
+        "same legacy-table divergence, uppercase arm; note clean_text "
+        "keeps the decoded '<' because no '>' follows to form a pseudo-tag",
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "name,html,ours,_bs4,_why", DIVERGENCE_PINS, ids=[c[0] for c in DIVERGENCE_PINS]
+)
+def test_divergence_pins_frozen(name, html, ours, _bs4, _why):
+    """Our output on the divergent inputs must not drift silently."""
+    assert extract_text_from_html(html) == ours
+
+
+def test_divergences_are_over_drop_or_entity_only():
+    """Safety envelope of the divergence inventory: no case leaks DROPPED
+    content (script/style/nav text) into the output — divergences may lose
+    or keep literal text, never resurrect removed markup."""
+    for _name, html, ours, bs4_out, _why in DIVERGENCE_PINS:
+        for leaked in ("menu", "items", "var ", "{color"):
+            assert leaked not in ours, (_name, leaked)
+
+
 def test_idempotent_on_extracted_text():
     """Extraction of already-extracted plain text is the identity (modulo
     clean_text whitespace) — the property that makes the precomputed
