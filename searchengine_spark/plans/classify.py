@@ -60,6 +60,43 @@ def netloc_col(url: Column) -> Column:
     return F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
 
 
+def content_type_keep_col(content_type: Column) -> Column:
+    """F3 (crawler.py:268-274, query_crawler.py:152-153): keep a response
+    iff ``'text/html' in content_type.lower()`` — the exact reference
+    predicate, so ``text/html; charset=utf-8`` passes and
+    ``application/pdf`` / ``image/png`` drop."""
+    return F.lower(content_type).contains("text/html")
+
+
+# Header-less stand-in for F3: the first bytes a MIME sniffer would accept
+# as HTML — an HTML doctype or a recognizable top-level/section tag (the
+# WHATWG sniffing set), case-insensitive, after optional whitespace/BOM.
+_HTML_SNIFF_RE = (
+    r"(?i)^[\s﻿]*<(?:!doctype\s+html|html|head|body|script|iframe"
+    r"|h1|div|font|table|a|style|title|b|br|p|!--)[\s>]"
+)
+
+
+def sniff_html_col(html: Column) -> Column:
+    """F3 without a Content-Type header: sniff the leading bytes of the
+    payload. The input table per ``input_hint`` (url, warc_ts, html, text,
+    lang) carries no response headers, so when ``content_type`` is absent
+    the filter falls back to payload sniffing — one-sided toward keeping
+    (any recognizable HTML opening passes), mirroring how WARC re-processors
+    recover the header the archive dropped. Native regexp: stays in
+    whole-stage codegen, no UDF."""
+    head = F.substring(html.cast("string"), 1, 1024)
+    return head.rlike(_HTML_SNIFF_RE)
+
+
+def filter_html_pages(pages: DataFrame) -> DataFrame:
+    """F3 filter over a page frame: exact reference predicate when the
+    frame carries ``content_type``; payload sniffing otherwise."""
+    if "content_type" in pages.columns:
+        return pages.filter(content_type_keep_col(F.col("content_type")))
+    return pages.filter(sniff_html_col(F.col("html")))
+
+
 def path_col(url: Column) -> Column:
     """lower(urlparse(url).path) (crawler.py:138) as a native regexp."""
     return F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)?", 1))

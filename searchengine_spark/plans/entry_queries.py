@@ -791,6 +791,63 @@ SELECT vec_a, vec_b, ROUND(sim, 5) AS sim FROM (
 WHERE sim >= 0.4"""
 
 
+# ------------------------------------------------- dedup: near-dup clusters (connected comps)
+def q_dedup_clusters(spark, sf_dir) -> DataFrame:
+    """Pairs → clusters: connected components over the embedding near-dup
+    pair graph (plans/graph.py — iterative min-label propagation, one keyed
+    join+agg per round), with the component-minimum id as the canonical
+    survivor. The step between q_embedding_neardup's PAIRS and a dedup
+    pass actually DROPPING rows."""
+    from searchengine_spark.plans import ann, graph
+
+    pairs = ann.lsh_neardup_pairs(
+        _embeddings(spark, sf_dir),
+        planes=_planes(),
+        bands=[[0, 1], [2, 3]],
+        threshold=0.4,
+    )
+    return graph.dedup_clusters(pairs).orderBy("vec_id")
+
+
+# DuckDB twin: same LSH pair graph, closure via a recursive CTE (UNION set
+# semantics terminates it); per node the MIN over all labels it can reach
+# = the component minimum, exactly the propagation fixpoint.
+SQL_DEDUP_CLUSTERS = f"""WITH RECURSIVE e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+keys AS (SELECT vec_id, v,
+  {{bit0}} + 2 * {{bit1}} AS k0,
+  {{bit2}} + 2 * {{bit3}} AS k1 FROM e),
+bands AS (
+  SELECT vec_id, v, band, CASE band WHEN 0 THEN k0 ELSE k1 END AS key
+  FROM keys CROSS JOIN (SELECT unnest([0, 1]) AS band)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         FIRST(a.v) AS va, FIRST(b.v) AS vb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id),
+pairs AS (
+  SELECT vec_a, vec_b FROM (
+    SELECT vec_a, vec_b,
+           list_dot_product(va, vb)
+           / NULLIF(sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)), 0) AS sim
+    FROM cand)
+  WHERE sim >= 0.4),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION SELECT vec_b, vec_a FROM pairs),
+reach(node, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node)
+SELECT CAST(node AS BIGINT) AS vec_id,
+       CAST(MIN(lab) AS BIGINT) AS cluster_id,
+       (node = MIN(lab)) AS is_canonical
+FROM reach GROUP BY node ORDER BY vec_id""".format(
+    **{f"bit{j}": _sql_bit(j) for j in range(4)}
+)
+
+
 SQL_ANN_LSH_BUCKETED = f"""WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 b AS (SELECT vec_id, v, {_SQL_BUCKET} AS bucket FROM e),
@@ -1219,6 +1276,7 @@ QUERIES = {
     "token_count_regex": q_token_count_regex,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "embedding_neardup": q_embedding_neardup,
+    "dedup_clusters": q_dedup_clusters,
     "ann_ivf_probe": q_ann_ivf_probe,
     "phrase_match": q_phrase_match,
     "phrase_sharded": q_phrase_sharded,
@@ -1252,6 +1310,7 @@ ORACLE_SQL = {
     "token_count_regex": SQL_TOKEN_COUNT_REGEX,
     "ann_lsh_bucketed": SQL_ANN_LSH_BUCKETED,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "ann_ivf_probe": SQL_ANN_IVF_PROBE,
     "phrase_match": SQL_PHRASE_MATCH,
     "phrase_sharded": SQL_PHRASE_SHARDED,

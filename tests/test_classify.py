@@ -204,3 +204,39 @@ def test_search_batch_exclude_domains(spark, tmp_path):
     filtered = eng.search_batch(qs, top_k=10, exclude_domains=True).collect()
     assert all("spotify.com" not in r["url"] for r in filtered)
     assert len(filtered) <= len(with_all)
+
+
+# --- F3: content-type filter (crawler.py:268-274) ---------------------------
+
+def test_content_type_filter_exact_reference_predicate(spark):
+    rows = [
+        ("https://a.com/1", "text/html"),
+        ("https://a.com/2", "TEXT/HTML; charset=utf-8"),
+        ("https://a.com/3", "application/xhtml+xml"),  # reference DROPS this
+        ("https://a.com/4", "application/pdf"),
+        ("https://a.com/5", "image/png"),
+        ("https://a.com/6", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, content_type string")
+    kept = {r["url"] for r in classify.filter_html_pages(df).collect()}
+    # reference: keep iff 'text/html' in content_type.lower()
+    assert kept == {"https://a.com/1", "https://a.com/2"}
+
+
+def test_content_type_filter_sniffs_when_header_absent(spark):
+    rows = [
+        ("https://a.com/html", b"<!DOCTYPE html><html><body>x</body></html>"),
+        ("https://a.com/bom", "﻿  <HTML lang=en><p>y".encode()),
+        ("https://a.com/frag", b"  <div class=x>loose fragment</div>"),
+        ("https://a.com/json", b'{"not": "html"}'),
+        ("https://a.com/pdf", b"%PDF-1.7 stream..."),
+        ("https://a.com/text", b"plain prose, no markup at all"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    kept = {r["url"] for r in classify.filter_html_pages(df).collect()}
+    assert kept == {"https://a.com/html", "https://a.com/bom", "https://a.com/frag"}
+
+
+def test_content_type_filter_keeps_whole_generated_corpus(spark):
+    pages = spark.createDataFrame(webgen.generate_pandas(40))
+    assert classify.filter_html_pages(pages).count() == 40

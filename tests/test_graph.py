@@ -1,0 +1,83 @@
+"""Connected components / dedup clusters (plans/graph.py): exact labels on
+handcrafted graphs vs a brute-force union-find, convergence on chains, and
+the canonical-survivor contract (SURVEY.md training-pipeline ops)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.plans import graph
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+CASES = {
+    "two_triangles": [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)],
+    "chain": [(i, i + 1) for i in range(1, 12)],  # diameter 11
+    "star": [(5, i) for i in range(6, 30)],
+    "bridge": [(1, 2), (2, 3), (3, 100), (100, 101)],
+    "self_loop_and_pair": [(7, 7), (8, 9)],
+    "reversed_ids": [(50, 1), (1, 30), (30, 2)],
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_components_match_union_find(spark, name):
+    edges = CASES[name]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["label"]
+        for r in graph.connected_components(df).collect()
+    }
+    assert got == _uf_components(edges)
+
+
+def test_labels_independent_of_partitioning_and_order(spark):
+    edges = CASES["bridge"] + CASES["chain"]
+    a = spark.createDataFrame(edges, "src long, dst long").repartition(7)
+    b = spark.createDataFrame(list(reversed(edges)), "src long, dst long").coalesce(1)
+    ra = sorted(map(tuple, graph.connected_components(a).collect()))
+    rb = sorted(map(tuple, graph.connected_components(b).collect()))
+    assert ra == rb
+
+
+def test_max_iter_fails_loudly(spark):
+    df = spark.createDataFrame(CASES["chain"], "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(df, max_iter=2)
+
+
+def test_dedup_clusters_canonical_contract(spark):
+    pairs = spark.createDataFrame(
+        [(4, 2), (2, 9), (30, 31)], "vec_a long, vec_b long"
+    )
+    rows = {r["vec_id"]: r for r in graph.dedup_clusters(pairs).collect()}
+    assert rows[2]["cluster_id"] == 2 and rows[2]["is_canonical"]
+    assert rows[4]["cluster_id"] == 2 and not rows[4]["is_canonical"]
+    assert rows[9]["cluster_id"] == 2 and not rows[9]["is_canonical"]
+    assert rows[30]["is_canonical"] and not rows[31]["is_canonical"]
+    # exactly one canonical per cluster — the dedup survivor
+    canon = [r for r in rows.values() if r["is_canonical"]]
+    assert sorted(r["cluster_id"] for r in canon) == [2, 30]
+    # anti-join drop set = non-canonical members
+    corpus = spark.range(0, 40).withColumnRenamed("id", "vec_id")
+    keep = corpus.join(
+        graph.dedup_clusters(pairs).filter(~F.col("is_canonical")),
+        "vec_id",
+        "left_anti",
+    )
+    assert keep.count() == 40 - 3
