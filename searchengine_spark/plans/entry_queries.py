@@ -1254,6 +1254,169 @@ FROM m
 ORDER BY media_id
 """
 
+# ------------------------------------------- benchmark decontamination
+# Test-set decontamination is a standard pass in large-scale training-data
+# pipelines (GPT-3 appendix C; Llama 2 §A.6): any training document sharing
+# enough word n-grams with a held-out benchmark is flagged/dropped so the
+# eval stays honest. Here the "benchmark" is a deterministic md5-bucket
+# slice of the corpus itself (self-contained; in production it is the eval
+# suites — a few MB of text, which is why the benchmark-gram side of the
+# join is broadcast: the cost at 100 TB is one map-side hash probe per
+# doc-gram plus a single hash-agg keyed by doc_id, never an all-pairs scan).
+DECON_GRAM_N = 3  # contamination n-gram width
+DECON_BENCH_PER_MILLE = 30  # md5 buckets < 30/1000 form the benchmark slice
+DECON_FLAG_RATE = 0.05  # flag docs with >= 5% of distinct grams overlapping
+
+
+def decontaminate_against(docs: DataFrame, bench_grams: DataFrame) -> DataFrame:
+    """Flag contamination of ``docs`` (doc_id, text) against a benchmark
+    distinct-gram set (single column ``gram``). Returns one row per doc that
+    has >= 1 trigram: (doc_id, n_grams, n_overlap, overlap_rate,
+    contaminated). Map-only gram generation (higher-order array fns), a
+    broadcast hash probe against the benchmark set, one doc-keyed hash-agg.
+    """
+    g1 = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: F.length(t) >= 1
+    )
+    grams = (
+        docs.select("doc_id", g1.alias("g1"))
+        .withColumn(
+            "gs",
+            F.expr(
+                "CASE WHEN size(g1) >= 3 THEN array_distinct("
+                "transform(sequence(0, size(g1)-3),"
+                " i -> concat(g1[i], ' ', g1[i+1], ' ', g1[i+2])))"
+                " ELSE array() END"
+            ),
+        )
+        .select("doc_id", F.explode("gs").alias("gram"))
+    )
+    hit = bench_grams.select("gram").distinct().withColumn("_hit", F.lit(1))
+    joined = grams.join(F.broadcast(hit), "gram", "left")
+    agg = joined.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_overlap"),
+    )
+    rate = F.col("n_overlap").cast("double") / F.col("n_grams").cast("double")
+    return agg.select(
+        "doc_id",
+        "n_grams",
+        "n_overlap",
+        F.round(rate, 6).alias("overlap_rate"),
+        (rate >= F.lit(DECON_FLAG_RATE)).cast("int").alias("contaminated"),
+    )
+
+
+def q_decontaminate_ngram(spark, sf_dir) -> DataFrame:
+    """Benchmark decontamination over ``documents``: the md5-bucket slice
+    (same engine-stable hash as stratified_sample) plays the held-out
+    benchmark; every non-benchmark doc reports its distinct-trigram overlap
+    with the benchmark's gram set and a contaminated flag."""
+    d = _documents(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    d = d.select("doc_id", "text", (bucket < DECON_BENCH_PER_MILLE).alias("is_bench"))
+    g1 = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: F.length(t) >= 1
+    )
+    bench_grams = (
+        d.where("is_bench")
+        .select(g1.alias("g1"))
+        .withColumn(
+            "gs",
+            F.expr(
+                "CASE WHEN size(g1) >= 3 THEN array_distinct("
+                "transform(sequence(0, size(g1)-3),"
+                " i -> concat(g1[i], ' ', g1[i+1], ' ', g1[i+2])))"
+                " ELSE array() END"
+            ),
+        )
+        .select(F.explode("gs").alias("gram"))
+    )
+    return decontaminate_against(d.where(~F.col("is_bench")), bench_grams)
+
+
+SQL_DECONTAMINATE_NGRAM = f"""WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> length(t) >= 1) AS g1,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % 1000 < {DECON_BENCH_PER_MILLE} AS is_bench
+  FROM documents),
+grams AS (
+  SELECT doc_id, is_bench,
+         unnest(list_distinct(list_transform(range(1, len(g1)-1),
+                i -> g1[i] || ' ' || g1[i+1] || ' ' || g1[i+2]))) AS gram
+  FROM t),
+bench AS (SELECT DISTINCT gram FROM grams WHERE is_bench),
+agg AS (
+  SELECT g.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(COUNT(b.gram) AS BIGINT) AS n_overlap
+  FROM grams g LEFT JOIN bench b USING (gram)
+  WHERE NOT g.is_bench
+  GROUP BY g.doc_id)
+SELECT doc_id, n_grams, n_overlap,
+  ROUND(CAST(n_overlap AS DOUBLE) / n_grams, 6) AS overlap_rate,
+  CAST(CASE WHEN CAST(n_overlap AS DOUBLE) / n_grams >= {DECON_FLAG_RATE}
+       THEN 1 ELSE 0 END AS INT) AS contaminated
+FROM agg"""
+
+
+# ------------------------------------------------------- PII detect/redact
+# A web-scale training pipeline scrubs personally identifiable strings
+# before anything ships to training. Patterns are deliberately restricted
+# to syntax shared verbatim by java.util.regex (Spark, codegen'd
+# regexp_extract_all / regexp_replace — no Python in the plan) and RE2
+# (DuckDB oracle): no backreferences, no lookaround.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """Per-doc PII counts plus the redacted text (each match replaced by a
+    typed placeholder). Map-only: every column is a native regexp expression
+    inside whole-stage codegen; cost is O(bytes scanned) regardless of
+    corpus size."""
+    n_email = F.size(F.regexp_extract_all("text", F.lit(PII_PATTERNS["email"]), F.lit(0)))
+    n_ipv4 = F.size(F.regexp_extract_all("text", F.lit(PII_PATTERNS["ipv4"]), F.lit(0)))
+    red = F.regexp_replace(
+        F.regexp_replace("text", PII_PATTERNS["email"], "<EMAIL>"),
+        PII_PATTERNS["ipv4"],
+        "<IP>",
+    )
+    return docs.select(
+        "doc_id",
+        n_email.cast("long").alias("n_email"),
+        n_ipv4.cast("long").alias("n_ipv4"),
+        (n_email + n_ipv4 > 0).cast("int").alias("has_pii"),
+        F.substring(F.md5(red), 1, 8).alias("redacted_md5"),
+    )
+
+
+def q_pii_scrub(spark, sf_dir) -> DataFrame:
+    return pii_scrub(_documents(spark, sf_dir))
+
+
+SQL_PII_SCRUB = rf"""SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{PII_PATTERNS["email"]}')) AS BIGINT)
+    AS n_email,
+  CAST(len(regexp_extract_all(text, '{PII_PATTERNS["ipv4"]}')) AS BIGINT)
+    AS n_ipv4,
+  CAST(CASE WHEN len(regexp_extract_all(text, '{PII_PATTERNS["email"]}'))
+            + len(regexp_extract_all(text, '{PII_PATTERNS["ipv4"]}')) > 0
+       THEN 1 ELSE 0 END AS INT) AS has_pii,
+  substr(md5(regexp_replace(regexp_replace(text,
+           '{PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+           '{PII_PATTERNS["ipv4"]}', '<IP>', 'g')), 1, 8) AS redacted_md5
+FROM documents"""
+
+
 QUERIES = {
     "doc_token_stats": q_doc_token_stats,
     "index_stats": q_index_stats,
@@ -1286,6 +1449,8 @@ QUERIES = {
     "bm25_stemmed_topk": q_bm25_stemmed_topk,
     "wand_stemmed_topk": q_wand_stemmed_topk,
     "multimodal_features": q_multimodal_features,
+    "decontaminate_ngram": q_decontaminate_ngram,
+    "pii_scrub": q_pii_scrub,
 }
 
 ORACLE_SQL = {
@@ -1324,4 +1489,6 @@ ORACLE_SQL = {
     # the featurizer's SQL-expressible core + frame counts; only the
     # import-gated real decode (multimodal.decode_media) stays un-oracled
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "decontaminate_ngram": SQL_DECONTAMINATE_NGRAM,
+    "pii_scrub": SQL_PII_SCRUB,
 }

@@ -1,0 +1,116 @@
+"""Behavior tests for the round-3 training-pipeline additions:
+benchmark n-gram decontamination and PII detect/redact.
+
+The engine-vs-DuckDB hash equivalence of both operators is covered by
+tests/test_entry_contract.py (auto-parametrized over the registry); these
+tests pin the *semantics* on hand-built rows — verbatim contamination must
+flag at rate 1.0, disjoint text at 0.0, and PII must be counted and
+replaced exactly.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from searchengine_spark.plans.entry_queries import (
+    PII_PATTERNS,
+    decontaminate_against,
+    pii_scrub,
+)
+
+
+def _bench_grams(spark, texts):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    g1 = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: F.length(t) >= 1)
+    return (
+        docs.select(g1.alias("g1"))
+        .withColumn(
+            "gs",
+            F.expr(
+                "CASE WHEN size(g1) >= 3 THEN array_distinct("
+                "transform(sequence(0, size(g1)-3),"
+                " i -> concat(g1[i], ' ', g1[i+1], ' ', g1[i+2])))"
+                " ELSE array() END"
+            ),
+        )
+        .select(F.explode("gs").alias("gram"))
+    )
+
+
+def test_verbatim_contamination_flags_at_full_rate(spark):
+    bench = _bench_grams(spark, ["the quick brown fox jumps over the lazy dog"])
+    docs = spark.createDataFrame(
+        [
+            # contains the benchmark text verbatim -> every shared trigram hits
+            (1, "intro words the quick brown fox jumps over the lazy dog outro"),
+            # fully disjoint vocabulary -> zero overlap
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            # too short for a trigram -> no output row
+            (3, "two words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate_against(docs, bench).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["contaminated"] == 1 and out[1]["n_overlap"] == 7
+    assert out[1]["overlap_rate"] > 0.5
+    assert out[2]["contaminated"] == 0 and out[2]["n_overlap"] == 0
+    assert out[2]["overlap_rate"] == 0.0
+
+
+def test_partial_overlap_rate_is_exact(spark):
+    bench = _bench_grams(spark, ["a b c d"])  # grams: "a b c", "b c d"
+    docs = spark.createDataFrame(
+        # distinct grams: "a b c", "b c d", "c d x", "d x y" -> 2/4 overlap
+        [(1, "a b c d x y")],
+        "doc_id long, text string",
+    )
+    row = decontaminate_against(docs, bench).collect()[0]
+    assert row["n_grams"] == 4 and row["n_overlap"] == 2
+    assert abs(row["overlap_rate"] - 0.5) < 1e-9
+    assert row["contaminated"] == 1
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "contact jane.doe+x@example.co.uk or 10.0.0.1 today"),
+            (2, "no pii here at all"),
+            (3, "a@b.io b@c.net 192.168.1.255"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["has_pii"]) == (1, 1, 1)
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["has_pii"]) == (0, 0, 0)
+    assert (out[3]["n_email"], out[3]["n_ipv4"], out[3]["has_pii"]) == (2, 1, 1)
+    # the redaction hash is over the placeholder-substituted text
+    import hashlib
+
+    expect = hashlib.md5(b"contact <EMAIL> or <IP> today").hexdigest()[:8]
+    assert out[1]["redacted_md5"] == expect
+    # unredacted rows hash to the original text
+    expect2 = hashlib.md5(b"no pii here at all").hexdigest()[:8]
+    assert out[2]["redacted_md5"] == expect2
+
+
+def test_pii_patterns_are_re2_and_java_compatible(spark):
+    """Both engines must see identical matches — the contract test proves it
+    end-to-end on the corpus; this pins the tricky boundary cases."""
+    cases = [
+        ("x@y.z", 0),  # single-letter TLD rejected by {2,}
+        ("x@y.io", 1),
+        ("1.2.3.4", 0),  # counted as ipv4, not email
+        ("a.b-c_d%e+f@g-h.i-j.com", 1),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["n_email"] for r in pii_scrub(docs).collect()}
+    for i, (_, n) in enumerate(cases):
+        assert got[i] == n, cases[i]
