@@ -11,6 +11,19 @@ from __future__ import annotations
 K1: float = 1.2
 B: float = 0.75
 
+
+def bm25_partial(tf, dl, avgdl):
+    """BM25 term partial ((k1+1)·tf)/(k1·(1−b+b·dl/avgdl)+tf), scalar or
+    numpy-vectorized. THE single definition of the formula that block-max
+    metadata (operators/shards.encode_blocks_pdf), selective-compaction
+    bound refresh (operators/merge.apply_tombstones), and live-bound
+    recompute under a tombstone mask (plans/wand) all rely on — their
+    bound-soundness argument requires the three sites to agree exactly.
+    ``avgdl<=0`` (empty surviving corpus) falls back to 1.0 rather than
+    dividing by zero; every partial is 0-valued then anyway."""
+    denom_avgdl = avgdl if avgdl > 0 else 1.0
+    return ((K1 + 1.0) * tf) / (K1 * (1.0 - B + B * dl / denom_avgdl) + tf)
+
 # --- Field boosts (utils/config.py:84-85 override indexer.py:55-56 defaults) ---
 TITLE_BOOST: float = 5.0
 META_BOOST: float = 3.0

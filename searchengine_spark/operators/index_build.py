@@ -321,7 +321,14 @@ def build_index_tables(tokenized: DataFrame) -> IndexTables:
     tf = term_frequencies(tokenized)
 
     doc_stats = tokenized.select("doc_id", "doc_len")
-    stats = doc_stats.agg(F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl"))
+    stats = doc_stats.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+        # exact Σdoc_len: lets downstream sharded builds persist the
+        # corpus sum, which tombstone masking needs for bit-exact
+        # surviving-avgdl derivation (operators/tombstones.py)
+        F.sum("doc_len").cast("long").alias("sum_doc_len"),
+    )
 
     # IDF (indexer.py:386-388): max(0, ln((N - n + 0.5) / (n + 0.5)))
     term_stats = (
@@ -484,7 +491,9 @@ def build_and_write_index(
     )
     doc_stats = spark.read.parquet(f"{path}/doc_stats")
     doc_stats.agg(
-        F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
+        F.count("*").alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+        F.sum("doc_len").cast("long").alias("sum_doc_len"),
     ).write.mode("overwrite").parquet(f"{path}/stats")
 
     (

@@ -35,8 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from searchengine_spark.config import B as _B
-from searchengine_spark.config import K1 as _K1
+from searchengine_spark import config
 from searchengine_spark.operators import codec
 from searchengine_spark.operators import shards as shards_mod
 from searchengine_spark.operators.index_build import IndexTables
@@ -318,7 +317,13 @@ def apply_tombstones(
                 row["pcounts"] = b""
                 row["pgaps"] = b""
             out_sig_rows.append(row)
-        bpdf = bpdf[~pseudo]
+        # docno-ordered per (shard, term): the run split below needs clean
+        # and dirty blocks of a term in positional docno order
+        bpdf = (
+            bpdf[~pseudo]
+            .sort_values(["shard", "term", "min_docno"], kind="stable")
+            .reset_index(drop=True)
+        )
 
         # selective split: a block whose docnos miss the kill set entirely
         # passes through with posting streams verbatim. The cheap range
@@ -341,7 +346,15 @@ def apply_tombstones(
                     ).astype(np.int64)
                     touched[j] = bool(np.isin(d, kill).any())
             clean = bpdf[~touched].copy()
-            dirty = bpdf[touched]
+            # run id: dirty blocks of a term separated by a clean block must
+            # re-encode independently — pooling them would let a rewritten
+            # block span the clean block's docno range, breaking the
+            # same-term non-overlap invariant the WAND kernel's searchsorted
+            # pruning relies on. A global clean-count works as the run key:
+            # a term's rows are contiguous (sorted above), so the count only
+            # advances between two of its dirty rows when one of ITS clean
+            # blocks sits between them.
+            dirty = bpdf[touched].assign(_crun=np.cumsum(~touched)[touched])
             if len(clean):
                 # refresh the avgdl-baked WAND bound arithmetically from the
                 # avgdl-free (max_tf, min_dl) metadata: a sound (if slightly
@@ -349,21 +362,17 @@ def apply_tombstones(
                 # antitone in dl — with no decode and no re-encode
                 mt = clean["max_tf"].to_numpy(dtype=np.float64)
                 md = clean["min_dl"].to_numpy(dtype=np.float64)
-                denom_avgdl = avgdl2 if avgdl2 > 0 else 1.0
-                clean["max_partial"] = np.where(
-                    mt > 0,
-                    ((_K1 + 1.0) * mt)
-                    / (_K1 * (1.0 - _B + _B * md / denom_avgdl) + mt),
-                    0.0,
-                )
+                clean["max_partial"] = config.bm25_partial(mt, md, avgdl2)
         else:
             # pre-bounds layout: max_partial bakes the OLD avgdl and cannot
             # be refreshed without a decode, so every block re-encodes
             # (round-2 behavior) even in shards with no tombstones
             clean = bpdf.iloc[0:0]
-            dirty = bpdf
+            dirty = bpdf.assign(_crun=0)
 
-        for (shard, term), g in dirty.groupby(["shard", "term"], sort=False):
+        for (shard, term, run), g in dirty.groupby(
+            ["shard", "term", "_crun"], sort=False
+        ):
             parts = [codec.decode_postings(r.gaps, r.tfs, r.dls) for r in g.itertuples()]
             flags = [
                 codec.varint_decode(r.fls).astype(np.int64)
@@ -378,6 +387,7 @@ def apply_tombstones(
             cols = {
                 "shard": int(shard),
                 "term": term,
+                "_crun": int(run),
                 "docno": docno[keep],
                 "tf": np.concatenate([p[1] for p in parts])[keep],
                 "doc_len": np.concatenate([p[2] for p in parts])[keep],
@@ -398,9 +408,9 @@ def apply_tombstones(
         if frames:
             flat = pd.concat(frames, ignore_index=True)
             parts_out.append(
-                shards_mod.encode_blocks_pdf(flat, avgdl2, block_size, with_positions)[
-                    out_cols
-                ]
+                shards_mod.encode_blocks_pdf(
+                    flat, avgdl2, block_size, with_positions, run_col="_crun"
+                )[out_cols]
             )
         if out_sig_rows:
             parts_out.append(pd.DataFrame(out_sig_rows, columns=out_cols))
@@ -409,7 +419,8 @@ def apply_tombstones(
         allb = pd.concat(parts_out, ignore_index=True)
         # deterministic layout: blocks renumbered in docno order per
         # (shard, term) — pass-through and rewritten rows interleave cleanly
-        # because blocks of one term never overlap in docno space
+        # because blocks of one term never overlap in docno space (the
+        # per-run re-encode above is what preserves that invariant)
         allb = allb.sort_values(["shard", "term", "min_docno"], kind="stable")
         allb["block_no"] = (
             allb.groupby(["shard", "term"], sort=False).cumcount().astype("int32")

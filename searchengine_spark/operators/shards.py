@@ -49,10 +49,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from searchengine_spark import config
 from searchengine_spark.config import (
-    B,
     CONTENT_WEIGHT,
-    K1,
     META_BOOST,
     TITLE_BOOST,
 )
@@ -154,7 +153,11 @@ def _lowered_fields() -> list:
 
 
 def encode_blocks_pdf(
-    pdf: pd.DataFrame, avgdl: float, block_size: int, with_positions: bool = False
+    pdf: pd.DataFrame,
+    avgdl: float,
+    block_size: int,
+    with_positions: bool = False,
+    run_col: str | None = None,
 ) -> pd.DataFrame:
     """(shard, term, docno, tf, doc_len[, positions]) rows → encoded block rows.
 
@@ -169,7 +172,6 @@ def encode_blocks_pdf(
     boundaries mapped through the per-posting position counts."""
     if len(pdf) == 0:
         return pd.DataFrame(columns=_BLOCK_POS_COLS if with_positions else _BLOCK_COLS)
-    k1, b = K1, B
     pdf = pdf.sort_values(["shard", "term", "docno"], kind="stable")
     shards_a = pdf["shard"].to_numpy(dtype=np.int32)
     terms = pdf["term"].to_numpy()
@@ -186,6 +188,12 @@ def encode_blocks_pdf(
     # run/block structure over the sorted frame
     new_run = np.ones(n, dtype=bool)
     new_run[1:] = (terms[1:] != terms[:-1]) | (shards_a[1:] != shards_a[:-1])
+    if run_col is not None:
+        # caller-imposed extra block boundaries (selective compaction: a
+        # rewritten block must never span the docno range of a pass-through
+        # block of the same term — same-term blocks stay non-overlapping)
+        runs_a = pdf[run_col].to_numpy(dtype=np.int64)
+        new_run[1:] |= runs_a[1:] != runs_a[:-1]
     run_id = np.cumsum(new_run) - 1
     run_starts = np.flatnonzero(new_run)
     pos_in_run = np.arange(n, dtype=np.int64) - run_starts[run_id]
@@ -199,7 +207,7 @@ def encode_blocks_pdf(
     gaps[1:] = docnos[1:] - docnos[:-1]
     gaps[bstarts] = docnos[bstarts]
 
-    partial = ((k1 + 1.0) * tfs) / (k1 * (1.0 - b + b * dls / avgdl) + tfs)
+    partial = config.bm25_partial(tfs, dls, avgdl)
     max_partial = np.maximum.reduceat(partial, bstarts)
     # avgdl-FREE block-bound metadata: partial(tf, dl) is increasing in tf
     # and decreasing in dl, so partial(max_tf, min_dl) computed with ANY
@@ -462,6 +470,15 @@ def build_sharded_index(
     """
     stats = tables.stats.collect()[0]
     n_docs = int(stats["n_docs"])
+    # exact corpus Σdoc_len (tombstone masking's bit-exact avgdl' input) —
+    # only trustworthy when avgdl derives from these same tables; a segment
+    # build overriding avgdl carries CORPUS avgdl but segment-local stats,
+    # so its sum would be the segment's, not the corpus's
+    sum_doc_len = None
+    if avgdl is None and "sum_doc_len" in stats.__fields__:
+        sum_doc_len = (
+            int(stats["sum_doc_len"]) if stats["sum_doc_len"] is not None else None
+        )
     if avgdl is None:
         avgdl = float(stats["avgdl"])
     if n_shards is None:
@@ -549,6 +566,7 @@ def build_sharded_index(
         n_shards=n_shards,
         shard_size=shard_size,
         block_size=block_size,
+        sum_doc_len=sum_doc_len,
     )
     # blocks/docs are still LAZY plans over docnos — the cache assign_docnos
     # made must live until they are materialized. Ownership: only a docnos

@@ -84,17 +84,19 @@ def build_mask(
             "layout: export + rebuild the index first)"
         )
     tomb_ids = tombstones.select("doc_id").distinct()
+    # enforce the cap BEFORE the broadcast and the collect, so an oversized
+    # kill set fails on this check instead of OOMing the driver it protects
+    if tomb_ids.limit(max_tombstones + 1).count() > max_tombstones:
+        raise ValueError(
+            f"more than {max_tombstones} tombstones exceed the mask cap: "
+            "a kill set this large should be compacted (apply_tombstones), "
+            "not masked — the mask ships with every kernel task"
+        )
     rows = (
         index.docs.join(F.broadcast(tomb_ids), "doc_id")
         .select("docno", "doc_len")
         .collect()
     )
-    if len(rows) > max_tombstones:
-        raise ValueError(
-            f"{len(rows)} tombstones exceed the mask cap ({max_tombstones}): "
-            "a kill set this large should be compacted (apply_tombstones), "
-            "not masked — the mask ships with every kernel task"
-        )
     killed = np.sort(np.fromiter((r["docno"] for r in rows), dtype=np.int64))
     killed_dl = int(sum(r["doc_len"] for r in rows))
     n2 = index.n_docs - killed.size

@@ -1268,18 +1268,17 @@ DECON_BENCH_PER_MILLE = 30  # md5 buckets < 30/1000 form the benchmark slice
 DECON_FLAG_RATE = 0.05  # flag docs with >= 5% of distinct grams overlapping
 
 
-def decontaminate_against(docs: DataFrame, bench_grams: DataFrame) -> DataFrame:
-    """Flag contamination of ``docs`` (doc_id, text) against a benchmark
-    distinct-gram set (single column ``gram``). Returns one row per doc that
-    has >= 1 trigram: (doc_id, n_grams, n_overlap, overlap_rate,
-    contaminated). Map-only gram generation (higher-order array fns), a
-    broadcast hash probe against the benchmark set, one doc-keyed hash-agg.
-    """
+def distinct_trigrams(docs: DataFrame, keep: tuple = ()) -> DataFrame:
+    """``text`` → one row per DISTINCT word trigram per input row
+    (columns: *keep, gram). The single definition both the benchmark side
+    and the document side of decontamination use — they must tokenize and
+    gram identically for overlap to mean anything. Map-only (higher-order
+    array fns + explode)."""
     g1 = F.filter(
         F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: F.length(t) >= 1
     )
-    grams = (
-        docs.select("doc_id", g1.alias("g1"))
+    return (
+        docs.select(*keep, g1.alias("g1"))
         .withColumn(
             "gs",
             F.expr(
@@ -1289,8 +1288,18 @@ def decontaminate_against(docs: DataFrame, bench_grams: DataFrame) -> DataFrame:
                 " ELSE array() END"
             ),
         )
-        .select("doc_id", F.explode("gs").alias("gram"))
+        .select(*keep, F.explode("gs").alias("gram"))
     )
+
+
+def decontaminate_against(docs: DataFrame, bench_grams: DataFrame) -> DataFrame:
+    """Flag contamination of ``docs`` (doc_id, text) against a benchmark
+    distinct-gram set (single column ``gram``). Returns one row per doc that
+    has >= 1 trigram: (doc_id, n_grams, n_overlap, overlap_rate,
+    contaminated). Map-only gram generation (higher-order array fns), a
+    broadcast hash probe against the benchmark set, one doc-keyed hash-agg.
+    """
+    grams = distinct_trigrams(docs, keep=("doc_id",))
     hit = bench_grams.select("gram").distinct().withColumn("_hit", F.lit(1))
     joined = grams.join(F.broadcast(hit), "gram", "left")
     agg = joined.groupBy("doc_id").agg(
@@ -1319,23 +1328,7 @@ def q_decontaminate_ngram(spark, sf_dir) -> DataFrame:
         % 1000
     )
     d = d.select("doc_id", "text", (bucket < DECON_BENCH_PER_MILLE).alias("is_bench"))
-    g1 = F.filter(
-        F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: F.length(t) >= 1
-    )
-    bench_grams = (
-        d.where("is_bench")
-        .select(g1.alias("g1"))
-        .withColumn(
-            "gs",
-            F.expr(
-                "CASE WHEN size(g1) >= 3 THEN array_distinct("
-                "transform(sequence(0, size(g1)-3),"
-                " i -> concat(g1[i], ' ', g1[i+1], ' ', g1[i+2])))"
-                " ELSE array() END"
-            ),
-        )
-        .select(F.explode("gs").alias("gram"))
-    )
+    bench_grams = distinct_trigrams(d.where("is_bench"))
     return decontaminate_against(d.where(~F.col("is_bench")), bench_grams)
 
 

@@ -98,10 +98,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from searchengine_spark import config
 from searchengine_spark.config import (
-    B,
     DEFAULT_STOPWORDS,
-    K1,
     DESC_MATCH_BOOST,
     DESC_PHRASE_BOOST,
     MIN_SCORE_THRESHOLD,
@@ -252,7 +251,7 @@ def _phase1_kernel(
             if live_bounds:
                 mt = g["max_tf"].to_numpy(dtype=np.float64)
                 md = g["min_dl"].to_numpy(dtype=np.float64)
-                bnd = ((K1 + 1.0) * mt) / (K1 * (1.0 - B + B * md / avgdl) + mt)
+                bnd = config.bm25_partial(mt, md, avgdl)
             else:
                 bnd = g["max_partial"].to_numpy(dtype=np.float64)
             per_term[ti] = (
@@ -297,9 +296,7 @@ def _phase1_kernel(
                 d, tf, dl, fl = decoded(gpos)
                 t = terms[t_idx[bi]]
                 w = weights[t]
-                partial = ((K1 + 1.0) * tf) / (
-                    K1 * (1.0 - B + B * dl / avgdl) + tf
-                )
+                partial = config.bm25_partial(tf, dl, avgdl)
                 parts_d.append(d)
                 parts_s.append(w * partial)
                 if with_bounds:
@@ -545,40 +542,64 @@ class WandSearchEngine:
                     "them — compact (apply_tombstones) or rebuild instead"
                 )
             self.avgdl = float(mask.avgdl)
+            # mask and index are immutable on an engine instance, so a
+            # term's killed-count never changes — memoize across batches
+            # (repeat queries on a masked serving engine pay the decode once)
+            self._killed_cache: dict[str, int] = {}
         else:
             self.avgdl = float(index.avgdl)
 
     def _killed_df(self, term_list) -> dict[str, int]:
         """Per query term, how many of its postings the mask kills — the df
         correction a masked query needs for exact idf. One pruned pass over
-        the query terms' blocks (gaps stream only), never an index scan."""
+        the query terms' blocks (gaps stream only), never an index scan;
+        blocks outside the kill set's docno range are cleared by a
+        searchsorted precheck (plan-side coarse range filter + per-block
+        exact check) without decoding a byte."""
         kill = self.mask.killed
         if kill.size == 0:
             return {}
+        missing = [t for t in term_list if t not in self._killed_cache]
+        if missing:
 
-        def count_killed(batches):
-            for pdf in batches:
-                terms_out, counts = [], []
-                for r in pdf.itertuples(index=False):
-                    d = np.cumsum(
-                        codec.varint_decode(r.gaps), dtype=np.uint64
-                    ).astype(np.int64)
-                    c = int(np.isin(d, kill).sum())
-                    if c:
-                        terms_out.append(r.term)
-                        counts.append(c)
-                if terms_out:
-                    yield pd.DataFrame({"term": terms_out, "killed": counts})
+            def count_killed(batches):
+                for pdf in batches:
+                    terms_out, counts = [], []
+                    for r in pdf.itertuples(index=False):
+                        # per-block precheck: any kill docno in range?
+                        i = int(np.searchsorted(kill, r.min_docno))
+                        if i >= kill.size or kill[i] > r.max_docno:
+                            continue
+                        d = np.cumsum(
+                            codec.varint_decode(r.gaps), dtype=np.uint64
+                        ).astype(np.int64)
+                        c = int(np.isin(d, kill).sum())
+                        if c:
+                            terms_out.append(r.term)
+                            counts.append(c)
+                    if terms_out:
+                        yield pd.DataFrame({"term": terms_out, "killed": counts})
 
-        rows = (
-            self.index.blocks.filter(F.col("term").isin(list(term_list)))
-            .select("term", "gaps")
-            .mapInPandas(count_killed, "term string, killed long")
-            .groupBy("term")
-            .agg(F.sum("killed").alias("killed"))
-            .collect()
-        )
-        return {r["term"]: int(r["killed"]) for r in rows}
+            rows = (
+                self.index.blocks.filter(F.col("term").isin(missing))
+                # coarse kill-range filter is Catalyst-side: row groups
+                # wholly outside [kill.min, kill.max] never reach Python
+                .filter(
+                    (F.col("max_docno") >= int(kill[0]))
+                    & (F.col("min_docno") <= int(kill[-1]))
+                )
+                .select("term", "min_docno", "max_docno", "gaps")
+                .mapInPandas(count_killed, "term string, killed long")
+                .groupBy("term")
+                .agg(F.sum("killed").alias("killed"))
+                .collect()
+            )
+            got = {r["term"]: int(r["killed"]) for r in rows}
+            for t in missing:
+                self._killed_cache[t] = got.get(t, 0)
+        return {
+            t: self._killed_cache[t] for t in term_list if self._killed_cache.get(t)
+        }
 
     def _analyze(self, queries, stopwords):
         """Driver-side: per-query term weights w = idf·mult·importance plus

@@ -76,6 +76,8 @@ class _MicroBatcher:
         self._thread.start()
 
     def submit(self, query: str, top_k: int, timeout: float = 300.0) -> list:
+        if self._stop:
+            raise RuntimeError("micro-batcher is shut down")
         done = threading.Event()
         slot: dict = {"done": done}
         self._q.put((query, top_k, slot))
@@ -88,6 +90,16 @@ class _MicroBatcher:
     def close(self) -> None:
         self._stop = True
         self._thread.join(timeout=5)
+        # fail any request that raced into the queue around shutdown —
+        # otherwise its submit() blocks for the full timeout on a slot
+        # nothing will ever complete
+        while True:
+            try:
+                _q, _k, slot = self._q.get_nowait()
+            except queue.Empty:
+                break
+            slot["err"] = RuntimeError("micro-batcher shut down")
+            slot["done"].set()
 
     def _loop(self) -> None:
         while not self._stop:

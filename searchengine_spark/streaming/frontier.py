@@ -108,6 +108,13 @@ def _bloom_dedup_factory(m_bits: int, k_hashes: int):
     vectorized: probe indices derive from the md5 hex id by double hashing
     (h1 + i·h2 mod m, Kirsch-Mitzenmacher), membership is one gather over
     the bitset, and inserts are one batched ``bitwise_or.at``."""
+    if m_bits <= 0 or m_bits % 8:
+        # the bitset is m_bits//8 bytes while probes range over [0, m_bits):
+        # a non-multiple-of-8 size would IndexError inside an executor —
+        # fail loudly at the API boundary instead
+        raise ValueError(f"bloom_bits must be a positive multiple of 8, got {m_bits}")
+    if k_hashes <= 0:
+        raise ValueError(f"bloom_hashes must be positive, got {k_hashes}")
 
     def fn(key, pdf_iter, state: GroupState):
         if state.exists:

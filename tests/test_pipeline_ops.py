@@ -13,11 +13,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import functions as F
-
 from searchengine_spark.plans.entry_queries import (
     PII_PATTERNS,
     decontaminate_against,
+    distinct_trigrams,
     pii_scrub,
 )
 
@@ -26,20 +25,7 @@ def _bench_grams(spark, texts):
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
-    g1 = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: F.length(t) >= 1)
-    return (
-        docs.select(g1.alias("g1"))
-        .withColumn(
-            "gs",
-            F.expr(
-                "CASE WHEN size(g1) >= 3 THEN array_distinct("
-                "transform(sequence(0, size(g1)-3),"
-                " i -> concat(g1[i], ' ', g1[i+1], ' ', g1[i+2])))"
-                " ELSE array() END"
-            ),
-        )
-        .select(F.explode("gs").alias("gram"))
-    )
+    return distinct_trigrams(docs)
 
 
 def test_verbatim_contamination_flags_at_full_rate(spark):

@@ -226,3 +226,55 @@ def test_masked_phrase_matches_fresh(spark, tmp_path_factory):
         ).collect()
     }
     assert want == got
+
+
+def test_interleaved_dirty_clean_blocks_stay_nonoverlapping(spark, tmp_path_factory):
+    """Kill docs in the FIRST and LAST block of a multi-block term while the
+    middle blocks stay clean: the rewritten survivors must re-encode per
+    contiguous dirty run, never into blocks spanning a pass-through block's
+    docno range — same-term non-overlap is what the WAND kernel's
+    searchsorted block pruning assumes."""
+    from pyspark.sql import functions as F
+
+    base = tmp_path_factory.mktemp("tombruns")
+    pages = webgen.generate_spark(spark, n_docs=400, partitions=4)
+    shards.build_and_write_sharded(
+        spark, pages, str(base / "full"), n_shards=1, block_size=8
+    )
+    full = shards.read_sharded_index(spark, str(base / "full"))
+    # the plain build path persists the exact corpus Σdoc_len (tombstone
+    # masking's bit-exact avgdl input), not just the rounded avgdl
+    assert full.sum_doc_len == full.docs.agg(F.sum("doc_len")).collect()[0][0]
+    bl = full.blocks.toPandas()
+    bl = bl[~bl["term"].str.startswith("\x00")]
+    term = bl.groupby("term").size().idxmax()
+    tb = bl[bl["term"] == term].sort_values("min_docno")
+    assert len(tb) >= 3, "fixture must yield a >=3-block term"
+    k1, k2 = int(tb.iloc[0]["min_docno"]), int(tb.iloc[-1]["max_docno"])
+    tomb_ids = full.docs.filter(F.col("docno").isin([k1, k2])).select("doc_id")
+    compacted = merge.apply_tombstones(
+        spark, full, tomb_ids, out_path=str(base / "compacted")
+    )
+    out = compacted.blocks.toPandas()
+    out = out[~out["term"].str.startswith("\x00")]
+    for t, g in out.groupby("term"):
+        g = g.sort_values("min_docno")
+        lo, hi = g["min_docno"].to_numpy(), g["max_docno"].to_numpy()
+        assert (lo[1:] > hi[:-1]).all(), f"overlapping blocks for term {t!r}"
+    # and the compacted index still answers rank+score-identical to a
+    # fresh build of the survivors
+    kill_urls = full.docs.join(tomb_ids, "doc_id").select("url")
+    survivors = pages.join(kill_urls, "url", "left_anti")
+    shards.build_and_write_sharded(
+        spark, survivors, str(base / "fresh"), n_shards=1, block_size=8
+    )
+    fresh = shards.read_sharded_index(spark, str(base / "fresh"))
+    queries = webgen.reference_queries() + [(900, term)]
+    want = WandSearchEngine(spark, fresh).search_batch(queries, top_k=10)
+    got = WandSearchEngine(spark, compacted).search_batch(queries, top_k=10)
+    cols = ["query_id", "rank", "doc_id", "score"]
+    w = [tuple(r) for r in want.select(*cols).orderBy("query_id", "rank").collect()]
+    g = [tuple(r) for r in got.select(*cols).orderBy("query_id", "rank").collect()]
+    assert [x[:3] for x in w] == [x[:3] for x in g]
+    for (_, _, _, s1), (_, _, _, s2) in zip(w, g):
+        assert abs(s1 - s2) <= 1e-9 * max(abs(s1), abs(s2), 1.0)
