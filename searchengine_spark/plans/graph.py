@@ -9,17 +9,34 @@ The reference engine never needs this (its corpus fits one pickle and
 dedup is the crawler's visited-set, crawler.py:210-219); at 10^12 docs it
 is the step between "pairs found" and "rows dropped".
 
-Algorithm: iterative min-label propagation. Each node starts labeled with
-itself; every round each node takes the minimum label in its closed
-neighborhood (one hash join edge⋈label + one hash agg); fixpoint when no
-label changes. Rounds = graph diameter — near-dup clusters are dense and
-tiny (a duplicated page and its copies all pair with each other), so 2-3
-rounds is typical and every round is a keyed shuffle, never a pairwise
-scan. For adversarial long-chain graphs the large-star/small-star
-decomposition (Kiveris et al., "Connected Components in MapReduce and
-Beyond", SoCC'14) bounds rounds at O(log² n) using exactly this
-propagation step as its primitive; ``max_iter`` fails loudly rather than
-silently emitting an unconverged clustering.
+Two algorithms behind one contract:
+
+* **min-label propagation** (the fast path): each node starts labeled with
+  itself; every round each node takes the minimum label in its closed
+  neighborhood (one hash join edge⋈label + one hash agg); fixpoint when no
+  label changes. Rounds = graph diameter — near-dup clusters are dense and
+  tiny (a duplicated page and its copies all pair with each other), so 2-3
+  rounds is typical and every round is a keyed shuffle, never a pairwise
+  scan.
+* **alternating large-star/small-star** (the adversarial-diameter path —
+  Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC'14): each round rewires every node's strictly-larger neighbors to
+  the minimum of its closed neighborhood (large-star), then collapses each
+  node's strictly-smaller neighborhood onto its minimum (small-star); both
+  steps preserve connectivity and monotonically pull components toward
+  their minima, converging to one star per component in O(log² n) rounds
+  REGARDLESS of diameter. Same primitive as propagation (keyed join + hash
+  agg per step), so the 100 TB shuffle shape is unchanged — a
+  mutated-template family forming a 10⁶-node chain converges in tens of
+  rounds instead of 10⁶.
+
+``algorithm="auto"`` (the default) runs propagation for ``max_iter``
+rounds and, instead of failing, FALLS BACK to the star algorithm on the
+original graph augmented with the partially-propagated node→label edges as
+shortcut chords (a label edge joins two nodes of the same component, so
+components are unchanged, while the chords cut the residual diameter by
+the rounds already spent). ``algorithm="propagation"`` keeps the round-2
+loud-failure contract; ``algorithm="star"`` forces the O(log² n) path.
 
 Lineage per round is truncated with an eager ``localCheckpoint`` —
 without it the plan doubles every iteration and the job dies on plan
@@ -34,29 +51,115 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _symmetrize(pairs: DataFrame) -> DataFrame:
+    """(a, b) pairs → the distinct symmetric edge frame (u, v), u ≠ v."""
+    e = pairs.select(F.col(pairs.columns[0]).alias("u"),
+                     F.col(pairs.columns[1]).alias("v"))
+    return (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _star_round(sym: DataFrame) -> DataFrame:
+    """One large-star + small-star rewiring round (Kiveris et al. SoCC'14
+    §3, the Alternating algorithm). Input and output are distinct symmetric
+    edge frames; connectivity is preserved exactly, and each round pulls
+    every node closer to its component minimum. Each step is one hash agg
+    (per-node neighborhood min) + one keyed join — the same shuffle
+    primitive as a propagation round, never a pairwise scan."""
+    # large-star: per node u, m = min(Γ(u) ∪ {u}); rewire every STRICTLY
+    # LARGER neighbor v > u to m. Every edge is processed from its smaller
+    # endpoint's row of the symmetric frame.
+    mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+    mins = mins.select("u", F.least(F.col("u"), F.col("_mn")).alias("_m"))
+    ls = (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), F.col("_m").alias("b"))
+    )
+    ls_sym = _symmetrize(ls)
+    # small-star: per node u over its strictly-smaller neighbors N(u)
+    # (each edge appears exactly once under its larger endpoint in the
+    # symmetric frame), m = min(N(u)); collapse N(u) ∪ {u} onto m.
+    small = ls_sym.filter(F.col("v") < F.col("u"))
+    mins2 = small.groupBy("u").agg(F.min("v").alias("_m"))
+    ss = (
+        small.join(mins2, "u")
+        .select(F.col("v").alias("a"), F.col("_m").alias("b"))
+        .union(mins2.select(F.col("u").alias("a"), F.col("_m").alias("b")))
+    )
+    return _symmetrize(ss)
+
+
+def _cc_star(sym: DataFrame, max_rounds: int = 60) -> DataFrame:
+    """Run alternating star rounds to the fixpoint (one star per
+    component, centered at the component minimum), then read labels off
+    the final stars. O(log² n) rounds regardless of diameter; the bound of
+    60 covers n up to ~2^7⁷ with slack — hitting it means a logic bug, not
+    a big graph, so it fails loudly."""
+    sym = sym.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        new = _star_round(sym).localCheckpoint(eager=True)
+        changed = (
+            new.exceptAll(sym).limit(1).count()
+            + sym.exceptAll(new).limit(1).count()
+        )
+        sym = new
+        if changed == 0:
+            # fixpoint: each component is a star on its minimum → label =
+            # min over the closed neighborhood
+            return sym.groupBy("u").agg(F.min("v").alias("_mn")).select(
+                F.col("u").alias("node"),
+                F.least(F.col("u"), F.col("_mn")).alias("label"),
+            )
+    raise RuntimeError(
+        f"star connected-components did not converge in {max_rounds} "
+        "rounds — this exceeds the O(log² n) bound for any realistic n "
+        "and indicates a bug, not a large graph"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Exact connected components of the undirected graph ``edges``.
 
     Returns one row per node appearing in any edge: ``(node, label)``
     where ``label`` is the minimum node id in the component — stable,
     deterministic cluster ids regardless of partitioning or edge order.
-    """
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = sym.union(
-        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
-    sym = sym.localCheckpoint(eager=True)
 
-    labels = (
-        sym.select(F.col("u").alias("node"))
+    ``algorithm``: ``"auto"`` (propagation, star fallback past
+    ``max_iter`` — never raises on a long chain), ``"propagation"``
+    (loud RuntimeError past ``max_iter``), ``"star"`` (O(log² n)
+    alternating large-star/small-star from round one).
+    """
+    if algorithm not in ("auto", "propagation", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    sym = _symmetrize(edges.select(src, dst)).localCheckpoint(eager=True)
+    # every endpoint of the input, INCLUDING pure-self-loop nodes that the
+    # symmetric frame drops — they are singleton components (label = self)
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+    )
+
+    def _complete(star_labels: DataFrame) -> DataFrame:
+        return nodes.join(star_labels, "node", "left").select(
+            "node", F.coalesce("label", F.col("node")).alias("label")
+        )
+
+    if algorithm == "star":
+        return _complete(_cc_star(sym))
+
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(
+        eager=True
     )
     for _ in range(max_iter):
         # min label over the closed neighborhood of each node
@@ -79,10 +182,21 @@ def connected_components(
         labels = new
         if changed == 0:
             return labels
+    if algorithm == "auto":
+        # adversarial diameter (e.g. a mutated-template chain): hand off to
+        # the star algorithm on the original graph + the partially-
+        # propagated node→label edges as shortcut chords. A label edge
+        # joins two nodes of one component (labels only ever move along
+        # edges), so components are unchanged, while the chords already
+        # span ``max_iter`` hops each.
+        chords = labels.select(
+            F.col("node").alias("u"), F.col("label").alias("v")
+        )
+        return _complete(_cc_star(_symmetrize(sym.union(chords))))
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
-        "pathological graph diameter; raise max_iter or pre-contract with "
-        "large-star/small-star"
+        "pathological graph diameter; use algorithm='auto'/'star' "
+        "(large-star/small-star, O(log² n) rounds) or raise max_iter"
     )
 
 
@@ -101,3 +215,26 @@ def dedup_clusters(
         F.col("label").cast("long").alias("cluster_id"),
         (F.col("node") == F.col("label")).alias("is_canonical"),
     )
+
+
+def drop_duplicates_by_cluster(
+    corpus: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize a near-dup dedup pass: DROP every corpus row whose id is
+    a non-canonical cluster member, keep canonical members and rows in no
+    cluster at all. This is the anti-join that turns ``dedup_clusters``
+    output into a smaller corpus — the step between "clusters labeled" and
+    "rows gone" (reference analog: the crawler's visited-set skip,
+    crawler.py:210-219, generalized from URL identity to content identity).
+
+    Scale shape: one LEFT ANTI hash join keyed on ``id_col``. The drop set
+    is ≤ the ids that appeared in any near-dup pair — orders of magnitude
+    smaller than the corpus — so AQE broadcasts it and the corpus never
+    shuffles; even in the sort-merge worst case the corpus moves once,
+    keyed, with no pairwise scan anywhere."""
+    losers = clusters.filter(~F.col("is_canonical")).select(
+        F.col("vec_id").alias(id_col)
+    )
+    return corpus.join(losers, id_col, "left_anti")

@@ -15,7 +15,9 @@ metadata, so the per-batch exchange carries just
 are the per-doc boosted-score bounds derived below), never the ~350 B/doc
 metadata of the corpus. Between the phases a **global θ-refinement** runs
 over that narrow candidate frame: per query, θ_global = the kth-largest
-``lb`` across ALL shards (one window over the candidate exchange), and any
+``lb`` across ALL shards (an exact two-level top-k tree aggregation — per
+(query, shard) top-k, per (query, shard-bucket) top-k, global top-k — so no
+single task ever holds more than O(k·√n_shards) rows), and any
 candidate with ``ub < θ_global`` is dropped — exact, because its boosted
 score is ≤ ub < θ_global ≤ the true kth-best boosted score. This is what
 makes candidate volume O(k·boost-margin) per query instead of
@@ -697,29 +699,71 @@ class WandSearchEngine:
         return blocks.groupby("shard").applyInPandas(kernel, _CAND_SCHEMA)
 
     @staticmethod
-    def _refine(candidates: DataFrame, top_k: int) -> DataFrame:
+    def _refine(
+        candidates: DataFrame, top_k: int, n_shards: int | None = None
+    ) -> DataFrame:
         """Cross-shard θ-refinement (module doc): per query, θ_global = the
         kth-largest ``lb`` over ALL shards' candidates; drop every candidate
         whose ``ub`` cannot reach it. Exact: for any true top-k doc d,
         ub(d) ≥ boosted(d) ≥ kth-best boosted ≥ kth-largest lb = θ_global
         (lb ≤ boosted pointwise, so the order statistics dominate too).
 
-        One exchange of the NARROW candidate frame (query_id-partitioned
-        windows; both window specs share the partitioning, so Catalyst
-        plans a single shuffle) — this is the step that collapses candidate
-        volume from O(k·n_shards) to O(k·boost-margin) per query before any
-        doc metadata is touched. Fewer than k candidates ⇒ no θ (NULL) ⇒
-        nothing is dropped."""
-        w_ord = Window.partitionBy("query_id").orderBy(
-            F.desc("lb"), F.asc("shard"), F.asc("docno")
+        θ is found by a TWO-LEVEL EXACT kth-largest tree aggregation, never
+        a per-query sort: (1) per (query_id, shard) keep the top-k ``lb``
+        values — an agg whose input per key is exactly the rows one phase-1
+        kernel task held in memory when it emitted them, and whose output is
+        ≤ k values; (2) fold shards into ~√n_shards buckets and keep the
+        top-k per (query_id, bucket) — ≤ k·√n_shards input values per key;
+        (3) top-k over the ≤ k·√n_shards bucket survivors per query and take
+        element k. Truncating to the top-k inside any partition preserves
+        the global top-k multiset (a value outside a partition's top-k is
+        dominated by k values in that same partition, so it can never be the
+        global kth-largest), so the θ value is IDENTICAL to a full sort —
+        but no single task ever materializes more than O(k·√n_shards) rows,
+        where the old per-query window sort concentrated the whole
+        O(k·n_shards) phase-1 emission of a query in one task (round-3
+        verdict finding #1). θ then broadcast-joins back onto the candidate
+        frame (|batch| rows — always broadcastable) and the ``ub`` filter
+        collapses volume from O(k·n_shards) to O(k·boost-margin) per query
+        before any doc metadata is touched. Fewer than k candidates total ⇒
+        the final array is shorter than k ⇒ no θ (NULL) ⇒ nothing is
+        dropped; the count survives the truncations because each level
+        outputs Σ_g min(k, c_g) ≥ min(k, Σ_g c_g) values.
+
+        NOTE: θ and the filter both consume ``candidates`` — callers that
+        care about single execution of the phase-1 kernel persist the
+        candidate frame first (search_batch does)."""
+        k = top_k
+        fanout = max(1, int(round((n_shards or 1024) ** 0.5)))
+
+        def topk_arr(col):
+            return F.slice(F.sort_array(F.collect_list(col), asc=False), 1, k)
+
+        per_shard = candidates.groupBy("query_id", "shard").agg(
+            topk_arr("lb").alias("_lbs")
         )
-        w_all = Window.partitionBy("query_id")
-        return (
-            candidates.withColumn("_lbrn", F.row_number().over(w_ord))
-            .withColumn(
-                "_theta",
-                F.max(F.when(F.col("_lbrn") == top_k, F.col("lb"))).over(w_all),
+        per_bucket = (
+            per_shard.select(
+                "query_id",
+                F.pmod(F.col("shard"), F.lit(fanout)).alias("_b"),
+                F.explode("_lbs").alias("_lb"),
             )
+            .groupBy("query_id", "_b")
+            .agg(topk_arr("_lb").alias("_lbs"))
+        )
+        theta = (
+            per_bucket.select("query_id", F.explode("_lbs").alias("_lb"))
+            .groupBy("query_id")
+            .agg(topk_arr("_lb").alias("_lbs"))
+            .select(
+                "query_id",
+                F.when(
+                    F.size("_lbs") >= k, F.element_at("_lbs", k)
+                ).alias("_theta"),
+            )
+        )
+        return (
+            candidates.join(F.broadcast(theta), "query_id", "left")
             .filter(F.col("_theta").isNull() | (F.col("ub") >= F.col("_theta")))
             .select("query_id", "shard", "docno", "raw")
         )
@@ -809,9 +853,19 @@ class WandSearchEngine:
                 else "query_id int, rank int, doc_id string, score double"
             )
             return self.spark.createDataFrame([], schema)
-        candidates = self._refine(
-            self._candidates(qinfo, term_list, top_k, prune), top_k
+        # persist the narrow phase-1 candidate frame: the θ tree-agg and the
+        # ub-filter branch both consume it, and without the persist the
+        # (expensive) phase-1 kernel would execute twice. MEMORY_AND_DISK:
+        # the frame is the pre-refinement emission — narrow (~50 B rows) but
+        # O(k·n_shards·|batch|) in the worst case, so spill, don't OOM. The
+        # eager with_metadata path unpersists after the winners collect; the
+        # lazy path leaves it to LRU eviction (documented trade).
+        from pyspark import StorageLevel
+
+        raw_cands = self._candidates(qinfo, term_list, top_k, prune).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
+        candidates = self._refine(raw_cands, top_k, self.index.n_shards)
 
         # ---- phase 2: metadata for REFINED survivors only ----------------
         # join-mode gate (module doc): broadcast is only safe while the
@@ -904,6 +958,7 @@ class WandSearchEngine:
         winners = out.select(
             "query_id", "rank", "shard", "docno", "doc_id", "score"
         ).collect()
+        raw_cands.unpersist(blocking=False)
         winners_df = self.spark.createDataFrame(
             [(r["query_id"], r["rank"], r["shard"], r["docno"], r["score"])
              for r in winners] or [],

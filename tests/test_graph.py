@@ -56,9 +56,69 @@ def test_labels_independent_of_partitioning_and_order(spark):
 
 
 def test_max_iter_fails_loudly(spark):
+    """The propagation-only contract keeps the round-2 loud failure."""
     df = spark.createDataFrame(CASES["chain"], "src long, dst long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        graph.connected_components(df, max_iter=2)
+        graph.connected_components(df, max_iter=2, algorithm="propagation")
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_star_algorithm_matches_union_find(spark, name):
+    """Alternating large-star/small-star (Kiveris et al.) must produce the
+    exact same labels as propagation/union-find on every handcrafted case —
+    including self-loops (singletons) and reversed id orders."""
+    edges = CASES[name]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["label"]
+        for r in graph.connected_components(df, algorithm="star").collect()
+    }
+    assert got == _uf_components(edges)
+
+
+def test_adversarial_chain_converges_via_star(spark):
+    """THE round-3 verdict item: a long-chain pair graph (a mutated
+    template family at 100 TB) must converge in O(log² n) star rounds, not
+    O(diameter) propagation rounds. A 1000-node path with max_iter=3
+    propagation rounds must fall back to the star algorithm under
+    algorithm='auto' and still return exact labels (everything in
+    component 0)."""
+    n = 1000
+    chain = [(i, i + 1) for i in range(n)]
+    df = spark.createDataFrame(chain, "src long, dst long")
+    labels = graph.connected_components(df, max_iter=3).collect()
+    assert len(labels) == n + 1
+    assert all(r["label"] == 0 for r in labels), [
+        r for r in labels if r["label"] != 0
+    ][:5]
+    # and star-from-round-one agrees on a shuffled, repartitioned copy
+    import random
+
+    rng = random.Random(7)
+    shuffled = chain[:]
+    rng.shuffle(shuffled)
+    df2 = spark.createDataFrame(shuffled, "src long, dst long").repartition(9)
+    labels2 = graph.connected_components(df2, algorithm="star").collect()
+    assert all(r["label"] == 0 for r in labels2)
+
+
+def test_drop_duplicates_by_cluster(spark):
+    """The materialize operator: canonical members and unclustered rows
+    survive; non-canonical members are dropped — on the id column of an
+    arbitrary corpus frame."""
+    pairs = spark.createDataFrame(
+        [(4, 2), (2, 9), (30, 31)], "vec_a long, vec_b long"
+    )
+    clusters = graph.dedup_clusters(pairs)
+    corpus = spark.range(0, 40).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 10).alias("payload")
+    )
+    kept = graph.drop_duplicates_by_cluster(corpus, clusters).collect()
+    kept_ids = sorted(r["doc_id"] for r in kept)
+    # dropped: 4, 9 (cluster min 2) and 31 (cluster min 30)
+    assert kept_ids == [i for i in range(40) if i not in (4, 9, 31)]
+    # payload columns pass through untouched
+    assert all(r["payload"] == r["doc_id"] * 10 for r in kept)
 
 
 def test_dedup_clusters_canonical_contract(spark):

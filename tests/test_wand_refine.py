@@ -90,6 +90,52 @@ def test_refined_volume_is_shard_count_independent(
     assert post_many >= min(TOP_K, 1) * n_q
 
 
+def test_refine_has_no_per_query_sort_task(spark, engine, many_shard_index):
+    """Round-3 verdict finding #1: θ must come from a tree aggregation, not
+    a Window.partitionBy(query_id) sort — the window concentrated a query's
+    FULL pre-refinement emission (O(k·n_shards) rows) in one task. The
+    refined plan must contain no Window operator at all (the only window in
+    the query path is the post-refinement normalize/top-k over the small
+    survivor set, which is not part of _refine's subtree), and the per-level
+    truncation must be visible as aggregation, not sort-based ranking."""
+    from searchengine_spark.config import DEFAULT_STOPWORDS
+
+    queries = webgen.reference_queries()[:4]
+    qinfo, term_list = engine._analyze(queries, DEFAULT_STOPWORDS)
+    raw = engine._candidates(qinfo, term_list, TOP_K, prune=True)
+    refined = engine._refine(raw, TOP_K, many_shard_index.n_shards)
+    plan = refined._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "Aggregate" in plan, plan  # the top-k tree is an agg tree
+    # θ joins back as a broadcast (|batch| rows), never a shuffled join of
+    # the full candidate frame
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_refine_theta_value_matches_full_sort(spark, engine):
+    """The tree-agg θ must be bit-identical to a full-sort kth-largest —
+    including duplicate lb values straddling the k boundary and queries
+    with fewer than k candidates (θ NULL ⇒ keep everything)."""
+    rows = []
+    # query 0: 7 candidates with duplicate lbs around k=5
+    lbs = [9.0, 9.0, 7.0, 7.0, 7.0, 3.0, 1.0]
+    for i, lb in enumerate(lbs):
+        rows.append((0, i % 3, i, lb + 0.5, lb, lb + 1.0))
+    # query 1: only 2 candidates (< k) — refinement must keep both
+    rows.append((1, 0, 0, 5.0, 4.0, 6.0))
+    rows.append((1, 1, 1, 2.0, 1.0, 3.0))
+    cands = spark.createDataFrame(
+        rows, "query_id int, shard int, docno long, raw double, lb double, ub double"
+    )
+    got = engine._refine(cands, 5, n_shards=3).collect()
+    # full-sort oracle: kth-largest lb of query 0 is sorted([...])[k-1] = 7.0
+    # survivors: ub >= 7.0  ⇒ lbs {9,9,7,7,7} (ub = lb+1) plus none of {3,1}
+    q0 = sorted(r["docno"] for r in got if r["query_id"] == 0)
+    assert q0 == [0, 1, 2, 3, 4], got
+    q1 = sorted(r["docno"] for r in got if r["query_id"] == 1)
+    assert q1 == [0, 1], got
+
+
 def test_refinement_is_exact_vs_exhaustive(spark, engine, many_shard_index):
     """Rank- and score-identity on the reference query set over the
     many-shard index, where the refinement actually drops candidates."""
