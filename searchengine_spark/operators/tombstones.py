@@ -84,19 +84,31 @@ def build_mask(
             "layout: export + rebuild the index first)"
         )
     tomb_ids = tombstones.select("doc_id").distinct()
-    # enforce the cap BEFORE the broadcast and the collect, so an oversized
-    # kill set fails on this check instead of OOMing the driver it protects
-    if tomb_ids.limit(max_tombstones + 1).count() > max_tombstones:
-        raise ValueError(
-            f"more than {max_tombstones} tombstones exceed the mask cap: "
-            "a kill set this large should be compacted (apply_tombstones), "
-            "not masked — the mask ships with every kernel task"
-        )
+    # The cap applies to MATCHED tombstones (ids actually present in the
+    # index) — a replayed kill log full of already-compacted ids must not
+    # trip it (round-3 ADVICE). Driver safety without pre-counting matches:
+    # the raw distinct count only chooses the JOIN STRATEGY (an oversized
+    # raw frame must not broadcast — it semi-joins keyed instead), and the
+    # collect itself is bounded by limit(cap + 1), so the driver never
+    # holds more than cap+1 narrow (docno, doc_len) rows no matter how
+    # large either side is; the cap check runs on the collected length.
+    raw_oversized = (
+        tomb_ids.limit(max_tombstones + 1).count() > max_tombstones
+    )
+    probe = tomb_ids if raw_oversized else F.broadcast(tomb_ids)
     rows = (
-        index.docs.join(F.broadcast(tomb_ids), "doc_id")
+        index.docs.join(probe, "doc_id")
         .select("docno", "doc_len")
+        .limit(max_tombstones + 1)
         .collect()
     )
+    if len(rows) > max_tombstones:
+        raise ValueError(
+            f"more than {max_tombstones} tombstones present in the index "
+            "exceed the mask cap: a kill set this large should be "
+            "compacted (apply_tombstones), not masked — the mask ships "
+            "with every kernel task"
+        )
     killed = np.sort(np.fromiter((r["docno"] for r in rows), dtype=np.int64))
     killed_dl = int(sum(r["doc_len"] for r in rows))
     n2 = index.n_docs - killed.size

@@ -811,8 +811,9 @@ def q_dedup_clusters(spark, sf_dir) -> DataFrame:
 
 # DuckDB twin: same LSH pair graph, closure via a recursive CTE (UNION set
 # semantics terminates it); per node the MIN over all labels it can reach
-# = the component minimum, exactly the propagation fixpoint.
-SQL_DEDUP_CLUSTERS = f"""WITH RECURSIVE e AS (
+# = the component minimum, exactly the propagation fixpoint. The CTE chain
+# is shared with SQL_DEDUP_MATERIALIZE below.
+_SQL_CC_CTES = f"""WITH RECURSIVE e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 keys AS (SELECT vec_id, v,
   {{bit0}} + 2 * {{bit1}} AS k0,
@@ -839,12 +840,52 @@ edges AS (
 reach(node, lab) AS (
   SELECT src, src FROM edges
   UNION
-  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node)
-SELECT CAST(node AS BIGINT) AS vec_id,
-       CAST(MIN(lab) AS BIGINT) AS cluster_id,
-       (node = MIN(lab)) AS is_canonical
-FROM reach GROUP BY node ORDER BY vec_id""".format(
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+clusters AS (
+  SELECT CAST(node AS BIGINT) AS vec_id,
+         CAST(MIN(lab) AS BIGINT) AS cluster_id,
+         (node = MIN(lab)) AS is_canonical
+  FROM reach GROUP BY node)""".format(
     **{f"bit{j}": _sql_bit(j) for j in range(4)}
+)
+
+SQL_DEDUP_CLUSTERS = (
+    _SQL_CC_CTES
+    + "\nSELECT vec_id, cluster_id, is_canonical FROM clusters ORDER BY vec_id"
+)
+
+
+# --------------------------------------------- dedup: materialize (rows actually dropped)
+def q_dedup_materialize(spark, sf_dir) -> DataFrame:
+    """The END of the dedup story: pairs → clusters → anti-join — the
+    corpus with non-canonical near-dup cluster members DROPPED
+    (plans/graph.py:drop_duplicates_by_cluster). The embeddings row
+    ``vec_id`` is the embedding of document ``doc_id`` (TESTDATA.md), so
+    the cluster verdicts apply directly to the documents table. Scale
+    shape: the drop set is ≤ the pair-involved ids (tiny vs the corpus),
+    so the corpus passes through ONE left-anti hash join — AQE broadcasts
+    the drop side — and never shuffles or scans pairwise."""
+    from searchengine_spark.plans import ann, graph
+
+    pairs = ann.lsh_neardup_pairs(
+        _embeddings(spark, sf_dir),
+        planes=_planes(),
+        bands=[[0, 1], [2, 3]],
+        threshold=0.4,
+    )
+    clusters = graph.dedup_clusters(pairs)
+    corpus = _documents(spark, sf_dir).select("doc_id", "n_chars")
+    return graph.drop_duplicates_by_cluster(corpus, clusters).orderBy(
+        "doc_id"
+    )
+
+
+SQL_DEDUP_MATERIALIZE = (
+    _SQL_CC_CTES
+    + """
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE d.doc_id NOT IN (SELECT vec_id FROM clusters WHERE NOT is_canonical)
+ORDER BY d.doc_id"""
 )
 
 
@@ -1292,16 +1333,32 @@ def distinct_trigrams(docs: DataFrame, keep: tuple = ()) -> DataFrame:
     )
 
 
-def decontaminate_against(docs: DataFrame, bench_grams: DataFrame) -> DataFrame:
+DECON_BROADCAST_CEILING = 2_000_000  # distinct bench grams; ~100 MB broadcast
+
+
+def decontaminate_against(
+    docs: DataFrame,
+    bench_grams: DataFrame,
+    broadcast_ceiling: int = DECON_BROADCAST_CEILING,
+) -> DataFrame:
     """Flag contamination of ``docs`` (doc_id, text) against a benchmark
     distinct-gram set (single column ``gram``). Returns one row per doc that
     has >= 1 trigram: (doc_id, n_grams, n_overlap, overlap_rate,
     contaminated). Map-only gram generation (higher-order array fns), a
-    broadcast hash probe against the benchmark set, one doc-keyed hash-agg.
-    """
+    hash probe against the benchmark set, one doc-keyed hash-agg.
+
+    Join-strategy gate (mirrors the WAND docs_join gate): production eval
+    suites are MB-scale and the gram probe broadcasts, but the operator
+    accepts ANY frame — a mis-sized call must not become a driver OOM
+    (round-3 verdict #6). The distinct gram count is checked with a
+    bounded ``limit(ceiling+1).count()`` job; past the ceiling the hint is
+    withheld and the probe runs as a gram-keyed shuffle join instead —
+    same results, corpus-side rows move once, keyed, no driver collect."""
     grams = distinct_trigrams(docs, keep=("doc_id",))
     hit = bench_grams.select("gram").distinct().withColumn("_hit", F.lit(1))
-    joined = grams.join(F.broadcast(hit), "gram", "left")
+    if hit.limit(broadcast_ceiling + 1).count() <= broadcast_ceiling:
+        hit = F.broadcast(hit)
+    joined = grams.join(hit, "gram", "left")
     agg = joined.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_grams"),
         F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_overlap"),
@@ -1377,12 +1434,16 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
     inside whole-stage codegen; cost is O(bytes scanned) regardless of
     corpus size."""
     n_email = F.size(F.regexp_extract_all("text", F.lit(PII_PATTERNS["email"]), F.lit(0)))
-    n_ipv4 = F.size(F.regexp_extract_all("text", F.lit(PII_PATTERNS["ipv4"]), F.lit(0)))
-    red = F.regexp_replace(
-        F.regexp_replace("text", PII_PATTERNS["email"], "<EMAIL>"),
-        PII_PATTERNS["ipv4"],
-        "<IP>",
+    # count ipv4 on the EMAIL-REDACTED text, mirroring the sequential
+    # replace order below — an IPv4 embedded inside an email-shaped match
+    # (e.g. 'a@1.2.3.4.co') is consumed by the email redaction and never
+    # yields an <IP> placeholder, so counting it would make n_ipv4 disagree
+    # with the redacted output (round-3 ADVICE)
+    email_red = F.regexp_replace("text", PII_PATTERNS["email"], "<EMAIL>")
+    n_ipv4 = F.size(
+        F.regexp_extract_all(email_red, F.lit(PII_PATTERNS["ipv4"]), F.lit(0))
     )
+    red = F.regexp_replace(email_red, PII_PATTERNS["ipv4"], "<IP>")
     return docs.select(
         "doc_id",
         n_email.cast("long").alias("n_email"),
@@ -1396,18 +1457,22 @@ def q_pii_scrub(spark, sf_dir) -> DataFrame:
     return pii_scrub(_documents(spark, sf_dir))
 
 
-SQL_PII_SCRUB = rf"""SELECT doc_id,
+SQL_PII_SCRUB = rf"""WITH p AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '{PII_PATTERNS["email"]}', '<EMAIL>', 'g')
+           AS email_red
+  FROM documents)
+SELECT doc_id,
   CAST(len(regexp_extract_all(text, '{PII_PATTERNS["email"]}')) AS BIGINT)
     AS n_email,
-  CAST(len(regexp_extract_all(text, '{PII_PATTERNS["ipv4"]}')) AS BIGINT)
+  CAST(len(regexp_extract_all(email_red, '{PII_PATTERNS["ipv4"]}')) AS BIGINT)
     AS n_ipv4,
   CAST(CASE WHEN len(regexp_extract_all(text, '{PII_PATTERNS["email"]}'))
-            + len(regexp_extract_all(text, '{PII_PATTERNS["ipv4"]}')) > 0
+            + len(regexp_extract_all(email_red, '{PII_PATTERNS["ipv4"]}')) > 0
        THEN 1 ELSE 0 END AS INT) AS has_pii,
-  substr(md5(regexp_replace(regexp_replace(text,
-           '{PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+  substr(md5(regexp_replace(email_red,
            '{PII_PATTERNS["ipv4"]}', '<IP>', 'g')), 1, 8) AS redacted_md5
-FROM documents"""
+FROM p"""
 
 
 QUERIES = {
@@ -1433,6 +1498,7 @@ QUERIES = {
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "embedding_neardup": q_embedding_neardup,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_materialize": q_dedup_materialize,
     "ann_ivf_probe": q_ann_ivf_probe,
     "phrase_match": q_phrase_match,
     "phrase_sharded": q_phrase_sharded,
@@ -1469,6 +1535,7 @@ ORACLE_SQL = {
     "ann_lsh_bucketed": SQL_ANN_LSH_BUCKETED,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_materialize": SQL_DEDUP_MATERIALIZE,
     "ann_ivf_probe": SQL_ANN_IVF_PROBE,
     "phrase_match": SQL_PHRASE_MATCH,
     "phrase_sharded": SQL_PHRASE_SHARDED,

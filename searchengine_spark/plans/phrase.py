@@ -138,6 +138,7 @@ def phrase_match_sharded(
     top_k: int | None = 50,
     terms: list[str] | None = None,
     mask=None,
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """Exact phrase query over a positional :class:`ShardedIndex`.
 
@@ -146,6 +147,10 @@ def phrase_match_sharded(
     scan is pruned to the phrase terms (IN-list over term-sorted parquet);
     each shard resolves its own matches locally (doc-range sharding), so
     the only shuffle is the per-shard regroup of the pruned block rows.
+
+    ``extra_cols`` appends further docs-store metadata columns (e.g.
+    ``("title", "description")``) to the output — same pruned join, the
+    serving layer uses it to fill the full result contract.
 
     ``top_k=None`` returns ALL matching docs (no limit) — used when the
     caller needs a different tie-break than docno order (e.g. the driver
@@ -158,8 +163,11 @@ def phrase_match_sharded(
     if terms is None:
         terms = analyze_phrase(phrase)
     if not terms:
+        extra = "".join(f", {c} string" for c in extra_cols)
         return spark.createDataFrame(
-            [], "doc_id string, url string, content_snippet string, phrase_tf long"
+            [],
+            f"doc_id string, url string, content_snippet string{extra}, "
+            "phrase_tf long",
         )
     kernel = _phrase_kernel_factory(
         terms, index.shard_size, kill=mask.killed if mask is not None else None
@@ -181,7 +189,7 @@ def phrase_match_sharded(
         topk = F.broadcast(topk)
     return (
         index.docs.join(topk, ["shard", "docno"])
-        .select("doc_id", "url", "content_snippet", "phrase_tf")
+        .select("doc_id", "url", "content_snippet", *extra_cols, "phrase_tf")
         .orderBy(F.desc("phrase_tf"), F.asc("docno"))
     )
 

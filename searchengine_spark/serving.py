@@ -49,6 +49,11 @@ def _clamp_int(raw, default: int, lo: int, hi: int) -> int:
     return max(lo, min(val, hi))
 
 
+class PhraseModeUnavailable(ValueError):
+    """mode=phrase requested against an engine without a positional
+    sharded index — a client error (400), not a server fault."""
+
+
 class _MicroBatcher:
     """Micro-batching front for concurrent serving: requests arriving
     within ``window_ms`` of each other dispatch as ONE ``search_batch``
@@ -70,17 +75,24 @@ class _MicroBatcher:
         self.batches_dispatched = 0  # observability + test hook
         self._q: queue.Queue = queue.Queue()
         self._stop = False
+        # guards the _stop-check-then-enqueue in submit() against close()'s
+        # stop-then-drain: without it a submit preempted between its _stop
+        # check and its put() can enqueue AFTER the drain, and that waiter
+        # blocks for its full timeout on a slot nothing will ever complete
+        # (round-3 verdict finding #2)
+        self._gate = threading.Lock()
         self._thread = threading.Thread(
             target=self._loop, name="search-microbatch", daemon=True
         )
         self._thread.start()
 
     def submit(self, query: str, top_k: int, timeout: float = 300.0) -> list:
-        if self._stop:
-            raise RuntimeError("micro-batcher is shut down")
         done = threading.Event()
         slot: dict = {"done": done}
-        self._q.put((query, top_k, slot))
+        with self._gate:
+            if self._stop:
+                raise RuntimeError("micro-batcher is shut down")
+            self._q.put((query, top_k, slot))
         if not done.wait(timeout=timeout):
             raise TimeoutError("micro-batch dispatch timed out")
         if "err" in slot:
@@ -88,18 +100,21 @@ class _MicroBatcher:
         return slot["rows"]
 
     def close(self) -> None:
-        self._stop = True
+        with self._gate:
+            self._stop = True
         self._thread.join(timeout=5)
-        # fail any request that raced into the queue around shutdown —
-        # otherwise its submit() blocks for the full timeout on a slot
-        # nothing will ever complete
-        while True:
-            try:
-                _q, _k, slot = self._q.get_nowait()
-            except queue.Empty:
-                break
-            slot["err"] = RuntimeError("micro-batcher shut down")
-            slot["done"].set()
+        # fail any request still queued at shutdown. The drain is complete:
+        # every put() happens under _gate after a _stop re-check, so once
+        # _stop is set no new item can ever enter the queue, and the worker
+        # has already exited (joined above) — nothing consumes concurrently.
+        with self._gate:
+            while True:
+                try:
+                    _q, _k, slot = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                slot["err"] = RuntimeError("micro-batcher shut down")
+                slot["done"].set()
 
     def _loop(self) -> None:
         while not self._stop:
@@ -174,19 +189,34 @@ class SearchService:
             self.term_count = int(index.term_stats.count())
 
     # -- app.py:104-194 ------------------------------------------------
-    def search(self, query: str, page: int = 1, per_page: int = RESULTS_PER_PAGE) -> dict:
-        rows = self._ranked(query, top_k=per_page * 3)
+    def search(
+        self,
+        query: str,
+        page: int = 1,
+        per_page: int = RESULTS_PER_PAGE,
+        mode: str = "ranked",
+    ) -> dict:
+        rows = self._dispatch(query, top_k=per_page * 3, mode=mode)
         page_data = paginate(rows, page=page, per_page=per_page)
         page_data["query"] = query
-        page_data["search_source"] = self.search_mode
+        page_data["search_source"] = (
+            "phrase" if mode == "phrase" else self.search_mode
+        )
         return page_data
 
     # -- app.py:197-244 ------------------------------------------------
-    def api_search(self, query: str, limit: int = RESULTS_PER_PAGE) -> dict:
+    def api_search(
+        self, query: str, limit: int = RESULTS_PER_PAGE, mode: str = "ranked"
+    ) -> dict:
         if not query:
             return {"results": [], "total": 0}
-        rows = self._ranked(query, top_k=limit * 2)[:limit]
+        rows = self._dispatch(query, top_k=limit * 2, mode=mode)[:limit]
         return {"results": rows, "total": len(rows)}
+
+    def _dispatch(self, query: str, top_k: int, mode: str) -> list[dict]:
+        if mode == "phrase":
+            return self._ranked_phrase(query, top_k=top_k)
+        return self._ranked(query, top_k=top_k)
 
     # -- app.py:246-275 ------------------------------------------------
     def health(self) -> dict:
@@ -204,6 +234,37 @@ class SearchService:
         else:
             res = self.engine.search_batch([(0, query)], top_k=top_k)
             rows = [] if res is None else res.orderBy("rank").collect()
+        return self._rows_to_results(rows, source=self.search_mode)
+
+    def _ranked_phrase(self, query: str, top_k: int) -> list[dict]:
+        """Positional phrase arm (plans/phrase.py) behind the same JSON
+        contract as the ranked arm: score = phrase occurrence count,
+        tombstone-mask aware (a masked doc can never surface), F11 domain
+        filter applied like the ranked path. Requires the engine to hold a
+        positional sharded index — the exhaustive BM25 engine (logical
+        tables) has no position streams, so the request is a client error,
+        not a 500."""
+        from searchengine_spark.plans import phrase as phrase_mod
+
+        index = getattr(self.engine, "index", None)
+        if index is None or not getattr(index, "with_positions", False):
+            raise PhraseModeUnavailable(
+                "phrase mode needs a positional sharded index"
+            )
+        res = phrase_mod.phrase_match_sharded(
+            self.spark,
+            index,
+            query,
+            top_k=top_k,
+            mask=getattr(self.engine, "mask", None),
+            extra_cols=("title", "description"),
+        )
+        rows = res.limit(top_k).collect()
+        return self._rows_to_results(rows, source="phrase", score_col="phrase_tf")
+
+    def _rows_to_results(
+        self, rows, source: str, score_col: str = "score"
+    ) -> list[dict]:
         out = []
         for r in rows:
             url = (r["url"] or "").lower()
@@ -217,8 +278,8 @@ class SearchService:
                     "title": r["title"],
                     "meta_description": r["description"],
                     "content_snippet": r["content_snippet"],
-                    "score": float(r["score"]),
-                    "source": self.search_mode,
+                    "score": float(r[score_col]),
+                    "source": source,
                 }
             )
         return out
@@ -241,6 +302,11 @@ def make_handler(service: SearchService):
             parsed = urllib.parse.urlparse(self.path)
             qs = urllib.parse.parse_qs(parsed.query)
             q = qs.get("q", [""])[0]
+            # unknown modes fall back to ranked (clamp-style defensive
+            # parsing, same policy as the numeric params)
+            mode = qs.get("mode", ["ranked"])[0]
+            if mode not in ("ranked", "phrase"):
+                mode = "ranked"
             try:
                 if parsed.path in ("/health", "/api/health"):
                     self._json(service.health())
@@ -249,14 +315,20 @@ def make_handler(service: SearchService):
                         qs.get("limit", [RESULTS_PER_PAGE])[0],
                         default=RESULTS_PER_PAGE, lo=1, hi=MAX_LIMIT,
                     )
-                    self._json(service.api_search(q, limit=limit))
+                    self._json(service.api_search(q, limit=limit, mode=mode))
                 elif parsed.path == "/search":
                     page = _clamp_int(
                         qs.get("page", ["1"])[0], default=1, lo=1, hi=MAX_PAGE
                     )
-                    self._json(service.search(q, page=page))
+                    self._json(service.search(q, page=page, mode=mode))
                 else:
                     self._json({"error": "not found"}, status=404)
+            except PhraseModeUnavailable:
+                # client error; generic message, no internals echoed
+                self._json(
+                    {"error": "phrase mode unavailable on this index"},
+                    status=400,
+                )
             except Exception:  # app.py returns 500 + error payload
                 # never echo internals (paths, plan text) to HTTP clients;
                 # log server-side, return a generic payload

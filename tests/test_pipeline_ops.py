@@ -100,3 +100,50 @@ def test_pii_patterns_are_re2_and_java_compatible(spark):
     got = {r["doc_id"]: r["n_email"] for r in pii_scrub(docs).collect()}
     for i, (_, n) in enumerate(cases):
         assert got[i] == n, cases[i]
+
+
+def test_pii_ipv4_counted_on_email_redacted_text(spark):
+    """Round-3 ADVICE: an IPv4 embedded inside an email-shaped match (the
+    email regex eats 'a@1.2.3.4.co' whole) must NOT count toward n_ipv4,
+    because the sequential redaction (email first) never emits an <IP>
+    placeholder for it — counts and redacted output must agree."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@1.2.3.4.co now"),  # ip swallowed by the email match
+            (2, "mail a@x.co from 1.2.3.4"),  # genuinely separate ip
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert (out[1]["n_email"], out[1]["n_ipv4"]) == (1, 0)
+    assert out[1]["redacted_md5"] == hashlib.md5(b"mail <EMAIL> now").hexdigest()[:8]
+    assert (out[2]["n_email"], out[2]["n_ipv4"]) == (1, 1)
+    assert (
+        out[2]["redacted_md5"]
+        == hashlib.md5(b"mail <EMAIL> from <IP>").hexdigest()[:8]
+    )
+
+
+def test_decontaminate_gram_gate_switches_off_broadcast(spark):
+    """Round-3 verdict #6: an oversized benchmark-gram frame must not be
+    broadcast (driver OOM) — past the ceiling the probe becomes a
+    gram-keyed shuffle join with IDENTICAL results."""
+    bench = _bench_grams(spark, ["the quick brown fox jumps over the lazy dog"])
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words the quick brown fox jumps over the lazy dog outro"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        ],
+        "doc_id long, text string",
+    )
+    small = decontaminate_against(docs, bench)  # default: broadcast path
+    big = decontaminate_against(docs, bench, broadcast_ceiling=2)  # forced off
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_small, plan_small
+    assert "BroadcastHashJoin" not in plan_big, plan_big
+    assert "Join" in plan_big  # still a join, now keyed/shuffled
+    rows = lambda df: sorted(map(tuple, df.collect()))
+    assert rows(small) == rows(big)

@@ -137,3 +137,118 @@ def test_microbatched_concurrent_requests(spark, service):
 
     assert 1 <= dispatched <= 2, dispatched
     assert got == want
+
+
+def test_microbatcher_shutdown_race_never_strands_a_waiter():
+    """Round-3 verdict finding #2: a submit() preempted between its _stop
+    check and its enqueue must not land in a drained queue and block for
+    its full timeout. Hammer submit/close concurrently against a stub
+    engine; every submit must resolve fast — rows, or the explicit
+    shut-down error — never a TimeoutError from a stranded slot."""
+    import concurrent.futures
+    import time as _time
+
+    class _StubEngine:
+        def search_batch(self, queries, top_k=10):
+            _time.sleep(0.01)
+            return None  # demuxes to [] per waiter
+
+    for _ in range(20):  # many rounds to make the preemption window real
+        b = serving._MicroBatcher(_StubEngine(), window_ms=10.0)
+        outcomes = []
+
+        def hit(i):
+            t0 = _time.monotonic()
+            try:
+                rows = b.submit(f"q{i}", 5, timeout=30.0)
+                outcomes.append(("ok", _time.monotonic() - t0))
+                assert rows == []
+            except RuntimeError as e:
+                assert "shut down" in str(e)
+                outcomes.append(("closed", _time.monotonic() - t0))
+            except TimeoutError:
+                outcomes.append(("TIMEOUT", _time.monotonic() - t0))
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+            futs = [ex.submit(hit, i) for i in range(4)]
+            _time.sleep(0.002)  # let some submits race the close
+            b.close()
+            futs += [ex.submit(hit, i) for i in range(4, 8)]
+            for f in futs:
+                f.result()
+        assert len(outcomes) == 8
+        # no waiter may be stranded: nothing times out, and nothing takes
+        # anywhere near the 30 s timeout (bound ~2 s covers slow CI, vs the
+        # 10 ms window — the old race cost the full 30 s)
+        assert all(kind != "TIMEOUT" for kind, _ in outcomes), outcomes
+        assert all(dt < 2.0 for _, dt in outcomes), outcomes
+
+
+def test_phrase_mode_serves_positional_kernel_results(spark, tmp_path_factory):
+    """Round-3 verdict #7: the positional phrase kernels must be reachable
+    from the serving layer. A ?mode=phrase request over a positional WAND
+    service must return exactly the phrase_match_sharded results (same JSON
+    contract, score = phrase occurrence count), and the ranked arm must be
+    untouched by the mode parameter."""
+    from searchengine_spark.operators import shards
+    from searchengine_spark.plans import phrase as phrase_plan
+    from searchengine_spark.plans.wand import WandSearchEngine
+
+    from searchengine_spark.config import DEFAULT_STOPWORDS
+    from searchengine_spark.functions import textproc
+
+    path = str(tmp_path_factory.mktemp("servephrase"))
+    pages_pdf = webgen.generate_pandas(N_DOCS)
+    pages = spark.createDataFrame(pages_pdf)
+    index = shards.build_and_write_sharded(
+        spark, pages, path, n_shards=4, with_positions=True
+    )
+    # a phrase guaranteed present: two adjacent tokens of a real doc's
+    # filtered content stream (the same analyzer the index uses)
+    stream = textproc.filter_tokens(
+        textproc.tokenize(pages_pdf.iloc[0]["text"] or ""), DEFAULT_STOPWORDS
+    )
+    assert len(stream) >= 2
+    phrase = f"{stream[0]} {stream[1]}"
+    svc = serving.SearchService(
+        spark, WandSearchEngine(spark, index), search_mode="wand"
+    )
+    srv = serving.serve(svc, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        want = phrase_plan.phrase_match_sharded(
+            spark, index, phrase, top_k=10
+        ).collect()
+        q = urllib.parse.quote(phrase)
+        status, body = _get(f"{base}/api/search?q={q}&mode=phrase&limit=5")
+        assert status == 200
+        assert body["total"] == len(body["results"])
+        got = [(r["doc_id"], r["score"]) for r in body["results"]]
+        expect = [(r["doc_id"], float(r["phrase_tf"])) for r in want[:5]]
+        assert got == expect and len(got) > 0
+        assert all(r["source"] == "phrase" for r in body["results"])
+        # full contract keys incl. metadata from the pruned docs join
+        assert {"doc_id", "url", "title", "meta_description",
+                "content_snippet", "score", "source"} <= set(body["results"][0])
+        # mode param does not leak into the ranked arm
+        status2, body2 = _get(f"{base}/api/search?q={q}&limit=5")
+        assert status2 == 200
+        assert all(r["source"] == "wand" for r in body2["results"])
+    finally:
+        srv.shutdown()
+
+
+def test_phrase_mode_on_tables_engine_is_client_error(server):
+    """mode=phrase against the exhaustive BM25 engine (no position
+    streams) must be a 400 with a generic payload — not a 500, and no
+    internals echoed."""
+    try:
+        urllib.request.urlopen(server + "/api/search?q=fast+table&mode=phrase",
+                               timeout=60)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        body = json.loads(e.read())
+        assert body == {"error": "phrase mode unavailable on this index"}

@@ -164,6 +164,35 @@ def test_mask_cap_enforced(spark, corpora):
         tombstones.build_mask(spark, full, tomb_ids, max_tombstones=1)
 
 
+def test_mask_cap_counts_matched_not_raw_tombstones(spark, corpora):
+    """Round-3 ADVICE: a replayed kill log can be full of ids that were
+    already compacted out of the index — only tombstones PRESENT in the
+    index count toward the mask cap. An oversized raw set with few matched
+    ids must build the same mask as the matched ids alone (routed through
+    the non-broadcast join, with the collect bounded by the cap)."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators import tombstones
+
+    full, _fresh, _compacted, tomb_ids = corpora
+    n_matched = tomb_ids.count()
+    # pad with 50 ids absent from the index (md5-shaped but unseen)
+    stale = spark.range(50).select(
+        F.md5(F.concat(F.lit("stale"), F.col("id").cast("string"))).alias(
+            "doc_id"
+        )
+    )
+    replayed = tomb_ids.unionByName(stale)
+    cap = n_matched + 5  # raw count (n_matched+50) far exceeds the cap
+    mask = tombstones.build_mask(
+        spark, full, replayed, max_tombstones=cap
+    )
+    want = tombstones.build_mask(spark, full, tomb_ids)
+    assert mask.killed.tolist() == want.killed.tolist()
+    assert mask.n_docs == want.n_docs
+    assert mask.avgdl == want.avgdl
+
+
 def test_selective_compaction_touches_only_killed_blocks(spark, corpora):
     """Compaction must pass every block with no masked docno through with
     BYTE-IDENTICAL posting streams — a 100-doc takedown rewrites ~100
