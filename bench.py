@@ -238,8 +238,123 @@ def run_scaling(n_docs: int = SCALING_DOCS) -> dict:
     }
 
 
+def run_delete_bench(cpus: int = CPUS, n_docs: int = N_DOCS) -> dict:
+    """Delete-path numbers (round-3 verdict #4), recorded in BASELINE.md:
+
+    * mask_build_100 / mask_build_100k — tombstone-mask build wall for a
+      100-doc takedown and a 100k-doc purge (the driver-side cost is the
+      bounded collect + np.sort; the 5M-cap extrapolation is linear in
+      matched ids and measured separately below as mask_sort_5m, the pure
+      in-driver component, because the bench index holds only n_docs docs);
+    * masked_first / masked_steady vs unmasked — 21-query WAND batch with a
+      100-doc mask: the first batch pays the one-off df-correction job,
+      steady state is the memoized mask shipped with the kernels;
+    * compact_selective vs compact_full — apply_tombstones on the
+      bounds-carrying layout (decode only blocks whose docno range hits the
+      kill set) vs the pre-bounds full re-encode of every block, same
+      100-doc kill set.
+    """
+    import numpy as np
+
+    from searchengine_spark.operators import shards as shards_mod
+    from searchengine_spark.operators import merge, tombstones
+    from searchengine_spark.plans.session import get_spark
+    from searchengine_spark.plans.wand import WandSearchEngine
+    from searchengine_spark.sources import webgen
+
+    spark = get_spark(
+        "bench-delete", master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    out: dict[str, float] = {}
+    corpus_path = _ensure_corpus(spark, n_docs)
+    sharded_path = os.path.join(BENCH_DIR, f"sharded_{n_docs}_c{cpus}")
+    if not os.path.exists(os.path.join(sharded_path, "meta.json")):
+        pages = spark.read.parquet(corpus_path)
+        shards_mod.build_and_write_sharded(
+            spark, pages, sharded_path, n_shards=max(cpus, 8)
+        )
+    index = shards_mod.read_sharded_index(spark, sharded_path)
+
+    from pyspark.sql import functions as F
+
+    kill100 = index.docs.orderBy("shard", "docno").limit(100).select("doc_id")
+    kill100 = spark.createDataFrame(
+        [(r["doc_id"],) for r in kill100.collect()], "doc_id string"
+    )
+    t0 = time.time()
+    mask = tombstones.build_mask(spark, index, kill100)
+    out["mask_build_100"] = round(time.time() - t0, 3)
+
+    kill100k = index.docs.filter(F.col("docno") % 100 != 0).select("doc_id")
+    t0 = time.time()
+    tombstones.build_mask(spark, index, kill100k,
+                          max_tombstones=5_000_000)
+    out["mask_build_100k"] = round(time.time() - t0, 3)
+
+    # pure driver-side component at the 5M cap (sort + dedup of the
+    # collected docnos — the part that grows with the cap)
+    rng = np.random.default_rng(7)
+    ids = rng.integers(0, 1 << 40, size=5_000_000)
+    t0 = time.time()
+    np.sort(ids)
+    out["mask_sort_5m"] = round(time.time() - t0, 3)
+
+    qs = webgen.reference_queries()
+    eng_plain = WandSearchEngine(spark, index)
+    t0 = time.time()
+    n_plain = len(eng_plain.search_batch(qs, top_k=10).collect())
+    out["unmasked_first"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    len(eng_plain.search_batch(qs, top_k=10).collect())
+    out["unmasked_steady"] = round(time.time() - t0, 3)
+
+    eng_masked = WandSearchEngine(spark, index, mask=mask)
+    t0 = time.time()
+    n_masked = len(eng_masked.search_batch(qs, top_k=10).collect())
+    out["masked_first"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    len(eng_masked.search_batch(qs, top_k=10).collect())
+    out["masked_steady"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    merge.apply_tombstones(
+        spark, index, kill100,
+        out_path=os.path.join(BENCH_DIR, "compact_sel"),
+    )
+    out["compact_selective"] = round(time.time() - t0, 3)
+
+    import dataclasses
+
+    legacy = dataclasses.replace(index, has_block_bounds=False)
+    t0 = time.time()
+    merge.apply_tombstones(
+        spark, legacy, kill100,
+        out_path=os.path.join(BENCH_DIR, "compact_full"),
+    )
+    out["compact_full"] = round(time.time() - t0, 3)
+
+    return {
+        "metric": "delete_path",
+        "value": out["masked_steady"],
+        "unit": "sec",
+        "queries": out,
+        "bench_docs": n_docs,
+        "cpus": cpus,
+        "masked_overhead_steady_pct": round(
+            100 * (out["masked_steady"] / out["unmasked_steady"] - 1), 1
+        ),
+        "selective_speedup": round(
+            out["compact_full"] / out["compact_selective"], 2
+        ),
+        "results": {"unmasked": n_plain, "masked": n_masked},
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--delete" in sys.argv:
+        print(json.dumps(run_delete_bench()))
     else:
         print(json.dumps(run_bench()))
