@@ -265,3 +265,165 @@ def ivf_topk(
         .orderBy(F.desc("sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def assign_pq_codes(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI 2011 — the standard billion-scale
+    compression): split each vector into M = len(codebooks) contiguous
+    subspaces; in subspace m replace the sub-vector with the id of its
+    nearest codebook centroid (L2, ties to the lowest code). A 10¹²-vector
+    corpus stores M small ints per vector instead of d floats — the scan a
+    PQ query touches is ~d/M·⌈log₂K⌉/32 of the raw data.
+
+    ``codebooks[m][c]`` is centroid c of subspace m (all centroids of a
+    subspace share its dimension). Codebooks are tiny (M·K·d/M floats) and
+    embed as literals — pure map-side Catalyst, no shuffle, no Python.
+    Columns: (id_col, v, codes array<int>)."""
+    e = df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+    codes = []
+    offset = 0
+    for cb in codebooks:
+        dsub = len(cb[0])
+        sub = F.slice(F.col("v"), offset + 1, dsub)
+        dists = F.array(
+            *[
+                l2sq_expr(sub, F.array(*[F.lit(float(x)) for x in cent]))
+                for cent in cb
+            ]
+        )
+        # array_position returns the FIRST index of the min → ties break to
+        # the lowest code, matching the SQL twin's (d, cid) ordering
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+        offset += dsub
+    return e.select(id_col, "v", F.array(*codes).alias("codes"))
+
+
+def pq_reconstruct_expr(
+    codes: Column, codebooks: list[list[list[float]]]
+) -> Column:
+    """The PQ-reconstructed vector: concat of each subspace's chosen
+    centroid. Scoring against the reconstruction IS asymmetric distance
+    computation (ADC) — dot(q, recon) = Σ_m dot(q_m, centroid_m) — spelled
+    as one Catalyst expression so the whole approximate scan stays inside
+    whole-stage codegen."""
+    parts = []
+    for m, cb in enumerate(codebooks):
+        cb_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in cent]) for cent in cb]
+        )
+        parts.append(F.element_at(cb_lit, F.element_at(codes, m + 1) + 1))
+    return F.concat(*parts)
+
+
+def pq_topk(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_query_id=None,
+    coded: DataFrame | None = None,
+    rerank: int | None = None,
+) -> DataFrame:
+    """PQ approximate top-k: rank by cosine(query, PQ-reconstruction).
+    Pass a precomputed ``coded`` frame (from :func:`assign_pq_codes`) to
+    skip re-encoding — the production pattern (encode once, query many).
+
+    ``rerank=R`` takes the top-R by PQ score and re-ranks them by EXACT
+    cosine on the raw vectors (the standard two-stage ADC + re-rank): the
+    exact pass touches only R rows. With R ≥ corpus size the result equals
+    :func:`cosine_topk` exactly (property-tested exactness limit).
+    Columns: (id_col, sim) — sim is the PQ-approximate score, or the exact
+    score when re-ranking."""
+    if coded is None:
+        coded = assign_pq_codes(df, codebooks, id_col=id_col, vec_col=vec_col)
+    if exclude_query_id is not None:
+        coded = coded.filter(F.col(id_col) != exclude_query_id)
+    q = _query_frame(
+        df.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col)),
+        query, id_col, vec_col,
+    )
+    recon = pq_reconstruct_expr(F.col("codes"), codebooks)
+    scored = coded.crossJoin(F.broadcast(q)).select(
+        id_col,
+        F.col("v"),
+        F.col("qv"),
+        cosine_expr(recon, F.col("qv")).alias("sim"),
+    )
+    if rerank is None:
+        return scored.select(id_col, "sim").orderBy(
+            F.desc("sim"), F.asc(id_col)
+        ).limit(k)
+    shortlist = scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(rerank)
+    return (
+        shortlist.select(
+            id_col, cosine_expr(F.col("v"), F.col("qv")).alias("sim")
+        )
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    query,
+    k: int = 10,
+    n_probe: int = 2,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ: coarse-cell prune (probe the query's ``n_probe`` nearest
+    cells) + PQ-approximate scoring of only those cells' members + optional
+    exact re-rank of the short list — the composition that serves
+    billion-scale ANN in practice (n_probe/n_cells of the corpus scanned,
+    at M ints per vector, exact math on ≤ rerank rows). With
+    n_probe = |cells| and rerank ≥ corpus size this equals
+    :func:`cosine_topk` exactly (property-tested)."""
+    if assigned is None:
+        assigned = assign_ivf_cells(df, centroids, id_col=id_col, vec_col=vec_col)
+    coded = assign_pq_codes(
+        assigned, codebooks, id_col=id_col, vec_col="v"
+    ).join(assigned.select(id_col, "cell"), id_col)
+    q = _query_frame(
+        df.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col)),
+        query, id_col, vec_col,
+    )
+    qcells = (
+        q.crossJoin(F.broadcast(centroids))
+        .select("qv", "cid", l2sq_expr(F.col("qv"), F.col("cv")).alias("d"))
+        .orderBy("d", "cid")
+        .limit(n_probe)
+        .select("qv", F.col("cid").alias("cell"))
+    )
+    cand = coded.join(F.broadcast(qcells), "cell")
+    if not isinstance(query, (list, tuple)):
+        cand = cand.filter(F.col(id_col) != query)
+    recon = pq_reconstruct_expr(F.col("codes"), codebooks)
+    scored = cand.select(
+        id_col, "v", "qv", cosine_expr(recon, F.col("qv")).alias("sim")
+    )
+    if rerank is None:
+        return scored.select(id_col, "sim").orderBy(
+            F.desc("sim"), F.asc(id_col)
+        ).limit(k)
+    shortlist = scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(rerank)
+    return (
+        shortlist.select(
+            id_col, cosine_expr(F.col("v"), F.col("qv")).alias("sim")
+        )
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )

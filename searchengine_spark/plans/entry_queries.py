@@ -757,6 +757,78 @@ SELECT vec_id, ROUND(sim, 5) AS sim FROM (
 ORDER BY sim DESC, vec_id LIMIT 5"""
 
 
+# ------------------------------------------------------- similarity: product quantization
+PQ_M = 4  # subspaces
+PQ_K = 8  # codebook entries per subspace (vectors 1..PQ_K, sliced)
+PQ_DSUB = EMB_DIM // PQ_M
+
+
+def _pq_codebooks(spark, sf_dir) -> list:
+    """Deterministic codebooks mirroring the IVF entry's centroid choice:
+    subspace m's codebook = the m-th slice of vectors 1..PQ_K (a tiny
+    driver fetch — PQ_K rows; production would k-means a sample)."""
+    rows = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in _embeddings(spark, sf_dir)
+        .filter(F.col("vec_id").between(1, PQ_K))
+        .collect()
+    }
+    return [
+        [rows[cid][m * PQ_DSUB:(m + 1) * PQ_DSUB] for cid in range(1, PQ_K + 1)]
+        for m in range(PQ_M)
+    ]
+
+
+def q_ann_pq(spark, sf_dir) -> DataFrame:
+    """Product-quantization ANN via the engine API (plans/ann.py:pq_topk):
+    every vector compresses to PQ_M codebook ids; ranking runs against the
+    PQ reconstruction (asymmetric distance) — the billion-scale path where
+    the scan reads M small ints per vector instead of d floats. Exact math
+    twin in DuckDB (same slices, same argmin tie-break, same cosine)."""
+    from searchengine_spark.plans import ann
+
+    return ann.pq_topk(
+        _embeddings(spark, sf_dir),
+        _pq_codebooks(spark, sf_dir),
+        query=0,
+        k=5,
+        exclude_query_id=0,
+    ).select("vec_id", F.round("sim", 5).alias("sim"))
+
+
+SQL_ANN_PQ = f"""WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND {PQ_K}),
+subs AS (SELECT unnest(range({PQ_M})) AS m),
+d AS (
+  SELECT e.vec_id, s.m, c.cid,
+         list_sum([x * x FOR x IN list_transform(
+             list_slice(e.v, s.m * {PQ_DSUB} + 1, s.m * {PQ_DSUB} + {PQ_DSUB}),
+             (a, i) -> a - c.cv[s.m * {PQ_DSUB} + i])]) AS dist
+  FROM e CROSS JOIN subs s CROSS JOIN cb c
+  WHERE e.vec_id <> 0),
+codes AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT vec_id, m, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+    FROM d) WHERE rn = 1),
+recon AS (
+  SELECT codes.vec_id,
+         flatten(list(list_slice(cb.cv, codes.m * {PQ_DSUB} + 1,
+                                 codes.m * {PQ_DSUB} + {PQ_DSUB})
+                      ORDER BY codes.m)) AS r
+  FROM codes JOIN cb ON codes.cid = cb.cid
+  GROUP BY codes.vec_id),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT vec_id, ROUND(sim, 5) AS sim FROM (
+  SELECT recon.vec_id,
+         list_dot_product(recon.r, q.qv)
+         / NULLIF(sqrt(list_dot_product(recon.r, recon.r))
+                  * sqrt(list_dot_product(q.qv, q.qv)), 0) AS sim
+  FROM recon, q)
+ORDER BY sim DESC, vec_id LIMIT 5"""
+
+
 def _sql_plane(j: int) -> str:
     return "list_value(" + ", ".join(str(c) for c in HYPERPLANES[j]) + ")"
 
@@ -1500,6 +1572,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_materialize": q_dedup_materialize,
     "ann_ivf_probe": q_ann_ivf_probe,
+    "ann_pq": q_ann_pq,
     "phrase_match": q_phrase_match,
     "phrase_sharded": q_phrase_sharded,
     "postings_export_roundtrip": q_postings_export_roundtrip,
@@ -1537,6 +1610,7 @@ ORACLE_SQL = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_materialize": SQL_DEDUP_MATERIALIZE,
     "ann_ivf_probe": SQL_ANN_IVF_PROBE,
+    "ann_pq": SQL_ANN_PQ,
     "phrase_match": SQL_PHRASE_MATCH,
     "phrase_sharded": SQL_PHRASE_SHARDED,
     "postings_export_roundtrip": SQL_POSTINGS_EXPORT_ROUNDTRIP,

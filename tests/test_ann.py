@@ -142,3 +142,93 @@ def test_entry_constants_match_api_generator():
     from searchengine_spark.plans.entry_queries import EMB_DIM, HYPERPLANES, N_PLANES
 
     assert ann.make_hyperplanes(EMB_DIM, N_PLANES) == HYPERPLANES
+
+
+@pytest.fixture(scope="module")
+def codebooks(vectors):
+    # subspace codebooks = slices of the 8 cluster-leading vectors (the
+    # same deterministic choice the entry query makes on the test tables)
+    M, dsub = 4, DIM // 4
+    leads = [vectors[c * PER_CLUSTER][1] for c in range(N_CLUSTERS)]
+    return [
+        [lead[m * dsub:(m + 1) * dsub] for lead in leads]
+        for m in range(M)
+    ]
+
+
+def test_pq_codes_are_valid_and_compact(emb, codebooks):
+    coded = ann.assign_pq_codes(emb, codebooks).collect()
+    assert len(coded) == N_CLUSTERS * PER_CLUSTER
+    for r in coded:
+        assert len(r["codes"]) == len(codebooks)
+        assert all(0 <= c < N_CLUSTERS for c in r["codes"])
+
+
+def test_pq_exactness_limit_identity_codebook(emb, vectors):
+    """With one subspace whose codebook contains EVERY corpus vector, the
+    PQ reconstruction is the vector itself (duplicate-free data), so
+    pq_topk must equal brute force exactly."""
+    full_cb = [[v for _, v in vectors]]
+    got = [
+        r["vec_id"]
+        for r in ann.pq_topk(
+            emb, full_cb, query=3, k=10, exclude_query_id=3
+        ).collect()
+    ]
+    assert got == _brute(vectors, 3, 10)
+
+
+def test_pq_rerank_full_is_exact(emb, vectors, codebooks):
+    """rerank ≥ corpus size re-scores every candidate with exact cosine —
+    the coarse codebooks then only order the shortlist, and the result
+    must equal brute force regardless of quantization error."""
+    n = N_CLUSTERS * PER_CLUSTER
+    got = [
+        r["vec_id"]
+        for r in ann.pq_topk(
+            emb, codebooks, query=3, k=10, exclude_query_id=3, rerank=n
+        ).collect()
+    ]
+    assert got == _brute(vectors, 3, 10)
+
+
+def test_pq_coarse_ranking_finds_the_right_cluster(emb, vectors, codebooks):
+    """PQ-only ranking is COARSE by construction: every member of the
+    query's cluster quantizes to (nearly) the same codes, so in-cluster
+    order is tie-broken, not ranked — exactly why the production path
+    re-ranks a shortlist (tested above). The property PQ alone must hold:
+    every PQ top-k candidate for a cluster-0 query comes from cluster 0
+    (ids 0..PER_CLUSTER-1), i.e. quantization never confuses clusters."""
+    got = {
+        r["vec_id"]
+        for r in ann.pq_topk(
+            emb, codebooks, query=3, k=10, exclude_query_id=3
+        ).collect()
+    }
+    assert len(got) == 10
+    assert got <= set(range(PER_CLUSTER)), sorted(got)
+
+
+def test_ivfpq_full_probe_full_rerank_is_exact(emb, vectors, centroids, codebooks):
+    n = N_CLUSTERS * PER_CLUSTER
+    got = [
+        r["vec_id"]
+        for r in ann.ivfpq_topk(
+            emb, centroids, codebooks, query=3, k=10,
+            n_probe=N_CLUSTERS, rerank=n,
+        ).collect()
+    ]
+    assert got == _brute(vectors, 3, 10)
+
+
+def test_ivfpq_probe2_rerank_recall(emb, vectors, centroids, codebooks):
+    """The production composition (2-cell probe + PQ shortlist + exact
+    re-rank of 3k) keeps high recall on clustered data."""
+    want = set(_brute(vectors, 3, 10))
+    got = {
+        r["vec_id"]
+        for r in ann.ivfpq_topk(
+            emb, centroids, codebooks, query=3, k=10, n_probe=2, rerank=30
+        ).collect()
+    }
+    assert len(got & want) >= 8, (sorted(got), sorted(want))
