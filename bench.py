@@ -152,7 +152,7 @@ def run_bench(cpus: int = CPUS, n_docs: int = N_DOCS, sf_dir: str = SF_DIR) -> d
     assert n_big == 10 * n_wand, f"big={n_big} != 10x{n_wand}"
 
     for name in ("bm25_topk", "term_df_top100", "minhash_signatures", "embedding_topk",
-                 "phrase_match"):
+                 "phrase_match", "ann_pq"):
         fn = entry_queries.QUERIES[name]
         t0 = time.time()
         fn(spark, sf_dir).collect()

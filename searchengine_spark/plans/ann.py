@@ -272,6 +272,7 @@ def assign_pq_codes(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: tuple = (),
 ) -> DataFrame:
     """Product-quantization encoding (Jégou et al., "Product Quantization
     for Nearest Neighbor Search", TPAMI 2011 — the standard billion-scale
@@ -284,8 +285,12 @@ def assign_pq_codes(
     ``codebooks[m][c]`` is centroid c of subspace m (all centroids of a
     subspace share its dimension). Codebooks are tiny (M·K·d/M floats) and
     embed as literals — pure map-side Catalyst, no shuffle, no Python.
-    Columns: (id_col, v, codes array<int>)."""
-    e = df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+    Columns: (id_col, *keep, v, codes array<int>) — ``keep`` carries
+    further columns (e.g. an IVF ``cell``) through the map-side pass, so
+    callers never need a self-join to reattach them."""
+    e = df.select(
+        id_col, *keep, F.col(vec_col).cast("array<double>").alias("v")
+    )
     codes = []
     offset = 0
     for cb in codebooks:
@@ -303,7 +308,7 @@ def assign_pq_codes(
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         )
         offset += dsub
-    return e.select(id_col, "v", F.array(*codes).alias("codes"))
+    return e.select(id_col, *keep, "v", F.array(*codes).alias("codes"))
 
 
 def pq_reconstruct_expr(
@@ -352,8 +357,23 @@ def pq_topk(
         df.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col)),
         query, id_col, vec_col,
     )
+    return _pq_score_and_rerank(
+        coded.crossJoin(F.broadcast(q)), codebooks, k, rerank, id_col
+    )
+
+
+def _pq_score_and_rerank(
+    cand: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int,
+    rerank: int | None,
+    id_col: str,
+) -> DataFrame:
+    """Shared PQ scoring tail: ADC score vs the reconstruction, then either
+    top-k directly or exact-cosine re-rank of the top-``rerank`` shortlist.
+    ``cand`` must carry (id_col, v, codes, qv)."""
     recon = pq_reconstruct_expr(F.col("codes"), codebooks)
-    scored = coded.crossJoin(F.broadcast(q)).select(
+    scored = cand.select(
         id_col,
         F.col("v"),
         F.col("qv"),
@@ -394,9 +414,12 @@ def ivfpq_topk(
     :func:`cosine_topk` exactly (property-tested)."""
     if assigned is None:
         assigned = assign_ivf_cells(df, centroids, id_col=id_col, vec_col=vec_col)
+    # keep=("cell",) carries the IVF cell through the map-side encoding —
+    # no self-join, so the (expensive) assign_ivf_cells subtree is planned
+    # exactly once
     coded = assign_pq_codes(
-        assigned, codebooks, id_col=id_col, vec_col="v"
-    ).join(assigned.select(id_col, "cell"), id_col)
+        assigned, codebooks, id_col=id_col, vec_col="v", keep=("cell",)
+    )
     q = _query_frame(
         df.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col)),
         query, id_col, vec_col,
@@ -411,19 +434,4 @@ def ivfpq_topk(
     cand = coded.join(F.broadcast(qcells), "cell")
     if not isinstance(query, (list, tuple)):
         cand = cand.filter(F.col(id_col) != query)
-    recon = pq_reconstruct_expr(F.col("codes"), codebooks)
-    scored = cand.select(
-        id_col, "v", "qv", cosine_expr(recon, F.col("qv")).alias("sim")
-    )
-    if rerank is None:
-        return scored.select(id_col, "sim").orderBy(
-            F.desc("sim"), F.asc(id_col)
-        ).limit(k)
-    shortlist = scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(rerank)
-    return (
-        shortlist.select(
-            id_col, cosine_expr(F.col("v"), F.col("qv")).alias("sim")
-        )
-        .orderBy(F.desc("sim"), F.asc(id_col))
-        .limit(k)
-    )
+    return _pq_score_and_rerank(cand, codebooks, k, rerank, id_col)

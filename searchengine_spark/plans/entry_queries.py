@@ -1427,9 +1427,27 @@ def decontaminate_against(
     withheld and the probe runs as a gram-keyed shuffle join instead —
     same results, corpus-side rows move once, keyed, no driver collect."""
     grams = distinct_trigrams(docs, keep=("doc_id",))
-    hit = bench_grams.select("gram").distinct().withColumn("_hit", F.lit(1))
+    # persist the distinct gram set: the gate's bounded count job
+    # materializes it and the probe join below REUSES the cached blocks —
+    # the distinct aggregation over bench_grams runs once, not twice.
+    # MEMORY_ONLY: the returned frame is lazy, so nothing can unpersist
+    # deterministically — memory blocks are LRU-evictable (eviction just
+    # recomputes), so repeated calls cannot accumulate disk blocks.
+    from pyspark import StorageLevel
+
+    hit = (
+        bench_grams.select("gram")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
     if hit.limit(broadcast_ceiling + 1).count() <= broadcast_ceiling:
         hit = F.broadcast(hit)
+    else:
+        # past the ceiling the probe must NOT broadcast — and with the
+        # cached relation's accurate size stats the optimizer would still
+        # auto-broadcast a borderline frame, so pin the keyed strategy
+        hit = hit.hint("shuffle_hash")
     joined = grams.join(hit, "gram", "left")
     agg = joined.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_grams"),

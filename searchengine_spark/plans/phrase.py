@@ -163,7 +163,14 @@ def phrase_match_sharded(
     if terms is None:
         terms = analyze_phrase(phrase)
     if not terms:
-        extra = "".join(f", {c} string" for c in extra_cols)
+        # empty-result schema must MATCH the non-empty path's: extra_cols
+        # take their real types from the docs store, not a string default
+        # (an all-stopword phrase must not change a union's schema)
+        docs_types = {f.name: f.dataType.simpleString()
+                      for f in index.docs.schema.fields}
+        extra = "".join(
+            f", {c} {docs_types.get(c, 'string')}" for c in extra_cols
+        )
         return spark.createDataFrame(
             [],
             f"doc_id string, url string, content_snippet string{extra}, "

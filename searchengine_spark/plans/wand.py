@@ -855,15 +855,20 @@ class WandSearchEngine:
             return self.spark.createDataFrame([], schema)
         # persist the narrow phase-1 candidate frame: the θ tree-agg and the
         # ub-filter branch both consume it, and without the persist the
-        # (expensive) phase-1 kernel would execute twice. MEMORY_AND_DISK:
-        # the frame is the pre-refinement emission — narrow (~50 B rows) but
-        # O(k·n_shards·|batch|) in the worst case, so spill, don't OOM. The
-        # eager with_metadata path unpersists after the winners collect; the
-        # lazy path leaves it to LRU eviction (documented trade).
+        # (expensive) phase-1 kernel would execute twice. Storage level by
+        # lifecycle: the EAGER with_metadata path uses MEMORY_AND_DISK
+        # (spill, don't OOM — the frame is narrow ~50 B rows but
+        # O(k·n_shards·|batch|) worst case) and unpersists in a finally once
+        # the winners collect; the LAZY path returns a plan the caller
+        # executes later, so nothing can unpersist deterministically — it
+        # uses MEMORY_ONLY, whose blocks are LRU-EVICTABLE (eviction just
+        # re-runs the kernel for the evicted partitions), so repeated lazy
+        # calls cannot accumulate disk blocks.
         from pyspark import StorageLevel
 
         raw_cands = self._candidates(qinfo, term_list, top_k, prune).persist(
-            StorageLevel.MEMORY_AND_DISK
+            StorageLevel.MEMORY_AND_DISK if with_metadata
+            else StorageLevel.MEMORY_ONLY
         )
         candidates = self._refine(raw_cands, top_k, self.index.n_shards)
 
@@ -955,10 +960,18 @@ class WandSearchEngine:
         # prunes row groups of the docno-sorted layout at the parquet scan —
         # the winner fetch touches a few row groups, not the corpus, and no
         # doc metadata ever enters an exchange.
-        winners = out.select(
-            "query_id", "rank", "shard", "docno", "doc_id", "score"
-        ).collect()
-        raw_cands.unpersist(blocking=False)
+        # the collect is the FIRST job of the eager path — cached blocks
+        # only exist once it runs, so unpersisting in its finally covers
+        # both success and a mid-job failure (before it, persist() holds no
+        # blocks and the unpersist is a no-op). The returned final probe
+        # below is built from the collected winners + the docs store and
+        # never references raw_cands.
+        try:
+            winners = out.select(
+                "query_id", "rank", "shard", "docno", "doc_id", "score"
+            ).collect()
+        finally:
+            raw_cands.unpersist(blocking=False)
         winners_df = self.spark.createDataFrame(
             [(r["query_id"], r["rank"], r["shard"], r["docno"], r["score"])
              for r in winners] or [],
