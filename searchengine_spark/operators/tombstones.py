@@ -95,7 +95,16 @@ def build_mask(
     raw_oversized = (
         tomb_ids.limit(max_tombstones + 1).count() > max_tombstones
     )
-    probe = tomb_ids if raw_oversized else F.broadcast(tomb_ids)
+    # An oversized raw frame must not reach the driver as a build side:
+    # withholding the broadcast hint alone is not enough (Catalyst can
+    # still auto-broadcast a frame whose sizeInBytes it underestimates),
+    # so pin the keyed strategy explicitly — same reason
+    # decontaminate_against pins shuffle_hash on its oversized arm.
+    probe = (
+        tomb_ids.hint("shuffle_hash")
+        if raw_oversized
+        else F.broadcast(tomb_ids)
+    )
     rows = (
         index.docs.join(probe, "doc_id")
         .select("docno", "doc_len")

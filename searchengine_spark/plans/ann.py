@@ -242,11 +242,15 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assigned: DataFrame | None = None,
+    exclude_query_id=None,
 ) -> DataFrame:
     """IVF ANN: probe the query's ``n_probe`` nearest cells, exact cosine
     on their members only (n_probe/n_cells of the data per query). Pass a
     precomputed ``assigned`` frame (from :func:`assign_ivf_cells`) to skip
-    re-assignment — the production pattern (assign once, probe many)."""
+    re-assignment — the production pattern (assign once, probe many).
+    ``exclude_query_id`` drops that id from the candidates — the same
+    explicit contract as :func:`cosine_topk`/:func:`pq_topk` (an id-valued
+    ``query`` is NOT auto-excluded)."""
     if assigned is None:
         assigned = assign_ivf_cells(df, centroids, id_col=id_col, vec_col=vec_col)
     q = _query_frame(df, query, id_col, vec_col)
@@ -258,8 +262,8 @@ def ivf_topk(
         .select("qv", F.col("cid").alias("cell"))
     )
     cand = assigned.join(F.broadcast(qcells), "cell")
-    if not isinstance(query, (list, tuple)):
-        cand = cand.filter(F.col(id_col) != query)
+    if exclude_query_id is not None:
+        cand = cand.filter(F.col(id_col) != exclude_query_id)
     return (
         cand.select(id_col, cosine_expr(F.col("v"), F.col("qv")).alias("sim"))
         .orderBy(F.desc("sim"), F.asc(id_col))
@@ -287,10 +291,35 @@ def assign_pq_codes(
     embed as literals — pure map-side Catalyst, no shuffle, no Python.
     Columns: (id_col, *keep, v, codes array<int>) — ``keep`` carries
     further columns (e.g. an IVF ``cell``) through the map-side pass, so
-    callers never need a self-join to reattach them."""
-    e = df.select(
-        id_col, *keep, F.col(vec_col).cast("array<double>").alias("v")
+    callers never need a self-join to reattach them.
+
+    Subspace dims must sum to the vector dimension; a mismatched codebook
+    would otherwise NULL-pad the reconstruction and silently rank every
+    row's sim as NULL, so the encode fails loudly instead: cheap Python
+    checks on the codebook shape here, and a per-row guard (raise_error)
+    on the vector length at execution."""
+    if not codebooks or any(not cb for cb in codebooks):
+        raise ValueError("assign_pq_codes: empty codebook list or subspace")
+    for m, cb in enumerate(codebooks):
+        if any(len(cent) != len(cb[0]) for cent in cb):
+            raise ValueError(
+                f"assign_pq_codes: subspace {m} centroids have mixed dims"
+            )
+    total_dim = sum(len(cb[0]) for cb in codebooks)
+    v_raw = F.col(vec_col).cast("array<double>")
+    v_checked = F.when(F.size(v_raw) == total_dim, v_raw).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "assign_pq_codes: codebook subspace dims sum to "
+                    f"{total_dim} but vector has "
+                ),
+                F.size(v_raw).cast("string"),
+                F.lit(" dims"),
+            )
+        )
     )
+    e = df.select(id_col, *keep, v_checked.alias("v"))
     codes = []
     offset = 0
     for cb in codebooks:
@@ -404,6 +433,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assigned: DataFrame | None = None,
+    exclude_query_id=None,
 ) -> DataFrame:
     """IVF-PQ: coarse-cell prune (probe the query's ``n_probe`` nearest
     cells) + PQ-approximate scoring of only those cells' members + optional
@@ -411,7 +441,9 @@ def ivfpq_topk(
     billion-scale ANN in practice (n_probe/n_cells of the corpus scanned,
     at M ints per vector, exact math on ≤ rerank rows). With
     n_probe = |cells| and rerank ≥ corpus size this equals
-    :func:`cosine_topk` exactly (property-tested)."""
+    :func:`cosine_topk` called with the same ``exclude_query_id`` exactly
+    (property-tested); exclusion is explicit-only, matching every other
+    ``*_topk`` in this module."""
     if assigned is None:
         assigned = assign_ivf_cells(df, centroids, id_col=id_col, vec_col=vec_col)
     # keep=("cell",) carries the IVF cell through the map-side encoding —
@@ -432,6 +464,6 @@ def ivfpq_topk(
         .select("qv", F.col("cid").alias("cell"))
     )
     cand = coded.join(F.broadcast(qcells), "cell")
-    if not isinstance(query, (list, tuple)):
-        cand = cand.filter(F.col(id_col) != query)
+    if exclude_query_id is not None:
+        cand = cand.filter(F.col(id_col) != exclude_query_id)
     return _pq_score_and_rerank(cand, codebooks, k, rerank, id_col)

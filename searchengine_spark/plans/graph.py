@@ -142,13 +142,21 @@ def connected_components(
     """
     if algorithm not in ("auto", "propagation", "star"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
-    sym = _symmetrize(edges.select(src, dst)).localCheckpoint(eager=True)
+    # one eager materialization of the input edge frame — it is typically
+    # the EXPENSIVE subtree (an LSH band self-join in the dedup pipeline),
+    # and both derived frames below are checkpointed off this copy, so no
+    # returned label plan ever re-executes the input on a later action
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint(
+        eager=True
+    )
+    sym = _symmetrize(e).localCheckpoint(eager=True)
     # every endpoint of the input, INCLUDING pure-self-loop nodes that the
     # symmetric frame drops — they are singleton components (label = self)
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
 
     def _complete(star_labels: DataFrame) -> DataFrame:

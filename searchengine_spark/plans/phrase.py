@@ -162,14 +162,24 @@ def phrase_match_sharded(
                          "(build_and_write_sharded(..., with_positions=True))")
     if terms is None:
         terms = analyze_phrase(phrase)
+    # unknown extra_cols must fail loudly on EVERY path: the non-empty
+    # branch raises at its final select, so the empty branch must not
+    # quietly fabricate a column for the same typo (a request would
+    # otherwise succeed or 500 depending on the query text)
+    docs_types = {f.name: f.dataType.simpleString()
+                  for f in index.docs.schema.fields}
+    missing = [c for c in extra_cols if c not in docs_types]
+    if missing:
+        raise ValueError(
+            f"extra_cols not in the docs store: {missing} "
+            f"(available: {sorted(docs_types)})"
+        )
     if not terms:
         # empty-result schema must MATCH the non-empty path's: extra_cols
         # take their real types from the docs store, not a string default
         # (an all-stopword phrase must not change a union's schema)
-        docs_types = {f.name: f.dataType.simpleString()
-                      for f in index.docs.schema.fields}
         extra = "".join(
-            f", {c} {docs_types.get(c, 'string')}" for c in extra_cols
+            f", {c} {docs_types[c]}" for c in extra_cols
         )
         return spark.createDataFrame(
             [],

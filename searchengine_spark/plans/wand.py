@@ -550,6 +550,19 @@ class WandSearchEngine:
             self._killed_cache: dict[str, int] = {}
         else:
             self.avgdl = float(index.avgdl)
+        # the one outstanding lazy-path persist (see search_batch): the
+        # NEXT search_batch call (or release()) drops it, so an engine
+        # holds at most one cache entry no matter how many lazy plans it
+        # has served
+        self._lazy_cands = None
+
+    def release(self) -> None:
+        """Drop the cache entry backing the last ``with_metadata=False``
+        plan. Call when done with a lazy result; executing that plan
+        afterwards stays correct (the phase-1 kernel just re-runs)."""
+        if self._lazy_cands is not None:
+            self._lazy_cands.unpersist(blocking=False)
+            self._lazy_cands = None
 
     def _killed_df(self, term_list) -> dict[str, int]:
         """Per query term, how many of its postings the mask kills — the df
@@ -858,18 +871,35 @@ class WandSearchEngine:
         # (expensive) phase-1 kernel would execute twice. Storage level by
         # lifecycle: the EAGER with_metadata path uses MEMORY_AND_DISK
         # (spill, don't OOM — the frame is narrow ~50 B rows but
-        # O(k·n_shards·|batch|) worst case) and unpersists in a finally once
-        # the winners collect; the LAZY path returns a plan the caller
-        # executes later, so nothing can unpersist deterministically — it
-        # uses MEMORY_ONLY, whose blocks are LRU-EVICTABLE (eviction just
-        # re-runs the kernel for the evicted partitions), so repeated lazy
-        # calls cannot accumulate disk blocks.
+        # O(k·n_shards·|batch|) worst case); the LAZY path returns a plan
+        # the caller executes later, so it uses MEMORY_ONLY, whose blocks
+        # are LRU-EVICTABLE (eviction just re-runs the kernel for the
+        # evicted partitions). The finally below drops the persist on every
+        # exit — eager success, ANY exception (including the docs_join
+        # ValueError, which used to leak the entry) — except the lazy
+        # return, which hands the entry to self._lazy_cands; the next call
+        # (or release()) drops that one, so an engine never accumulates
+        # cache entries however many batches it serves.
         from pyspark import StorageLevel
 
+        self.release()
         raw_cands = self._candidates(qinfo, term_list, top_k, prune).persist(
             StorageLevel.MEMORY_AND_DISK if with_metadata
             else StorageLevel.MEMORY_ONLY
         )
+        try:
+            return self._finish_batch(
+                raw_cands, qinfo, term_list, top_k, with_metadata, docs_join
+            )
+        finally:
+            if raw_cands is not self._lazy_cands:
+                raw_cands.unpersist(blocking=False)
+
+    def _finish_batch(
+        self, raw_cands, qinfo, term_list, top_k, with_metadata, docs_join
+    ) -> DataFrame:
+        """Phases 2+ of search_batch, split out so the caller's finally can
+        own the raw_cands persist lifecycle."""
         candidates = self._refine(raw_cands, top_k, self.index.n_shards)
 
         # ---- phase 2: metadata for REFINED survivors only ----------------
@@ -938,6 +968,10 @@ class WandSearchEngine:
             .filter((F.col("rank") <= top_k) & (F.col("score") > MIN_SCORE_THRESHOLD))
         )
         if not with_metadata:
+            # hand the persist to the engine: the returned plan consumes it
+            # when the caller executes; the next batch (or release()) drops
+            # it — see the lifecycle note in search_batch
+            self._lazy_cands = raw_cands
             return out.select("query_id", "rank", "doc_id", "score")
 
         orig_tokens_by_qid = {qid: toks for qid, _, _, toks, _ in qinfo}
@@ -960,18 +994,13 @@ class WandSearchEngine:
         # prunes row groups of the docno-sorted layout at the parquet scan —
         # the winner fetch touches a few row groups, not the corpus, and no
         # doc metadata ever enters an exchange.
-        # the collect is the FIRST job of the eager path — cached blocks
-        # only exist once it runs, so unpersisting in its finally covers
-        # both success and a mid-job failure (before it, persist() holds no
-        # blocks and the unpersist is a no-op). The returned final probe
-        # below is built from the collected winners + the docs store and
-        # never references raw_cands.
-        try:
-            winners = out.select(
-                "query_id", "rank", "shard", "docno", "doc_id", "score"
-            ).collect()
-        finally:
-            raw_cands.unpersist(blocking=False)
+        # the collect is the last job that touches raw_cands: the final
+        # probe below is built from the collected winners + the docs store,
+        # so search_batch's finally can drop the persist as soon as this
+        # method returns (or raises).
+        winners = out.select(
+            "query_id", "rank", "shard", "docno", "doc_id", "score"
+        ).collect()
         winners_df = self.spark.createDataFrame(
             [(r["query_id"], r["rank"], r["shard"], r["docno"], r["score"])
              for r in winners] or [],

@@ -259,7 +259,8 @@ class SearchService:
             mask=getattr(self.engine, "mask", None),
             extra_cols=("title", "description"),
         )
-        rows = res.limit(top_k).collect()
+        # phrase_match_sharded(top_k=...) already caps the result frame
+        rows = res.collect()
         return self._rows_to_results(rows, source="phrase", score_col="phrase_tf")
 
     def _rows_to_results(

@@ -101,7 +101,8 @@ def test_ivf_full_probe_is_exact(emb, vectors, centroids):
     got = [
         r["vec_id"]
         for r in ann.ivf_topk(
-            emb, centroids, query=3, k=10, n_probe=N_CLUSTERS
+            emb, centroids, query=3, k=10, n_probe=N_CLUSTERS,
+            exclude_query_id=3,
         ).collect()
     ]
     assert got == _brute(vectors, 3, 10)
@@ -113,7 +114,10 @@ def test_ivf_probe2_recall_on_clustered_data(emb, vectors, centroids):
         want = set(_brute(vectors, qid, 10))
         got = {
             r["vec_id"]
-            for r in ann.ivf_topk(emb, centroids, query=qid, k=10, n_probe=2).collect()
+            for r in ann.ivf_topk(
+                emb, centroids, query=qid, k=10, n_probe=2,
+                exclude_query_id=qid,
+            ).collect()
         }
         hits += len(want & got)
         total += len(want)
@@ -215,7 +219,7 @@ def test_ivfpq_full_probe_full_rerank_is_exact(emb, vectors, centroids, codebook
         r["vec_id"]
         for r in ann.ivfpq_topk(
             emb, centroids, codebooks, query=3, k=10,
-            n_probe=N_CLUSTERS, rerank=n,
+            n_probe=N_CLUSTERS, rerank=n, exclude_query_id=3,
         ).collect()
     ]
     assert got == _brute(vectors, 3, 10)
@@ -228,7 +232,25 @@ def test_ivfpq_probe2_rerank_recall(emb, vectors, centroids, codebooks):
     got = {
         r["vec_id"]
         for r in ann.ivfpq_topk(
-            emb, centroids, codebooks, query=3, k=10, n_probe=2, rerank=30
+            emb, centroids, codebooks, query=3, k=10, n_probe=2,
+            rerank=30, exclude_query_id=3,
         ).collect()
     }
     assert len(got & want) >= 8, (sorted(got), sorted(want))
+
+
+def test_pq_codebook_dim_mismatch_fails_loudly(emb, codebooks):
+    """Subspace dims that don't sum to the vector dim must raise at encode
+    time — a NULL-padded reconstruction would otherwise rank every row's
+    sim as NULL and return a silently wrong (id-ordered) top-k."""
+    bad = [cb for cb in codebooks]
+    bad[0] = [cent[:-1] for cent in bad[0]]  # covers DIM-1 of DIM dims
+    with pytest.raises(Exception, match="dims"):
+        ann.assign_pq_codes(emb, bad).collect()
+
+
+def test_pq_codebook_mixed_centroid_dims_rejected(emb, codebooks):
+    bad = [cb for cb in codebooks]
+    bad[1] = [bad[1][0][:-1]] + [list(c) for c in bad[1][1:]]
+    with pytest.raises(ValueError, match="mixed dims"):
+        ann.assign_pq_codes(emb, bad)

@@ -484,3 +484,19 @@ def test_positional_kernels_reject_oversized_shard():
             factory()
     # the boundary itself is fine
     ph._phrase_kernel_factory(["a", "b"], 1 << 31)
+
+
+def test_unknown_extra_col_raises_on_both_paths(spark, pos_index):
+    """A typo'd extra_cols name must fail loudly whether or not the phrase
+    has analyzable terms — the empty branch used to fabricate a string
+    column while the non-empty branch raised, so the same request would
+    succeed or fail depending on the query text."""
+    with pytest.raises(ValueError, match="titel"):
+        phrase_plan.phrase_match_sharded(
+            spark, pos_index, "dup spark", extra_cols=("titel",)
+        )
+    with pytest.raises(ValueError, match="titel"):
+        # all-stopword phrase → the empty-terms branch
+        phrase_plan.phrase_match_sharded(
+            spark, pos_index, "the of and", extra_cols=("titel",)
+        )

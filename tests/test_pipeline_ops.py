@@ -11,6 +11,8 @@ replaced exactly.
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from searchengine_spark.plans.entry_queries import (
@@ -18,6 +20,7 @@ from searchengine_spark.plans.entry_queries import (
     decontaminate_against,
     distinct_trigrams,
     pii_scrub,
+    simhash_neardup_pairs,
 )
 
 
@@ -147,3 +150,50 @@ def test_decontaminate_gram_gate_switches_off_broadcast(spark):
     assert "Join" in plan_big  # still a join, now keyed/shuffled
     rows = lambda df: sorted(map(tuple, df.collect()))
     assert rows(small) == rows(big)
+
+
+def test_simhash_banded_pairs_are_exact_vs_bruteforce(spark):
+    """The banded blocking + popcount filter must return EXACTLY the pairs
+    within max_hamming — the pigeonhole argument (any pair within
+    n_bands-1 flips shares a clean band) makes blocking lossless, and the
+    XOR filter kills every band-collision false positive. Random 64-bit
+    signatures, production geometry (16-bit bands)."""
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    # cluster the signatures so some pairs land within distance 3
+    base = [rng.getrandbits(64) - (1 << 63) for _ in range(6)]
+    sigs = {}
+    for i in range(120):
+        b = base[i % 6]
+        flips = rng.sample(range(64), rng.randint(0, 4))
+        v = b
+        for f in flips:
+            v ^= 1 << f
+        # keep signed-64 domain (Spark long)
+        sigs[i] = ((v + (1 << 63)) % (1 << 64)) - (1 << 63)
+    df = spark.createDataFrame(
+        list(sigs.items()), "doc_id long, simhash long"
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_neardup_pairs(
+            df, n_bits=64, n_bands=4, max_hamming=3
+        ).collect()
+    )
+    want = sorted(
+        (a, b, bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1"))
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 3
+    )
+    assert want, "test corpus planted no near pairs"
+    assert got == want
+
+
+def test_simhash_banded_pairs_pigeonhole_guard(spark):
+    df = spark.createDataFrame([(0, 1)], "doc_id long, simhash long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_neardup_pairs(df, n_bits=16, n_bands=4, max_hamming=4)
+    with pytest.raises(ValueError, match="divisible"):
+        simhash_neardup_pairs(df, n_bits=17, n_bands=4, max_hamming=3)

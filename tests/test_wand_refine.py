@@ -219,3 +219,26 @@ def test_direct_mode_requires_written_index(spark):
         WandSearchEngine(spark, mem).search_batch(
             [(0, term)], top_k=3, docs_join="direct"
         )
+
+
+def test_lazy_persist_lifecycle_is_bounded(spark, many_shard_index):
+    """Repeated with_metadata=False batches must not accumulate cache
+    entries: each lazy plan's phase-1 persist is handed to the engine and
+    dropped by the NEXT batch (or release()), so an engine holds at most
+    one entry however many batches it serves; the eager path (and any
+    failing path — e.g. the docs_join='direct' ValueError on an unwritten
+    index) leaves nothing behind."""
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    eng = WandSearchEngine(spark, many_shard_index)
+    baseline_empty = cm.isEmpty()
+    batch = webgen.reference_queries()[:8]  # produces rows on this corpus
+    for _ in range(3):
+        out = eng.search_batch(batch, top_k=TOP_K, with_metadata=False)
+        assert len(out.collect()) > 0  # full path, not an early return
+        assert eng._lazy_cands is not None
+    eng.release()
+    assert eng._lazy_cands is None
+    # eager path cleans up inside search_batch itself
+    eng.search_batch(webgen.reference_queries()[:1], top_k=TOP_K).collect()
+    if baseline_empty:  # don't assert global emptiness if other suites cached
+        assert cm.isEmpty(), "search_batch leaked a cache entry"
