@@ -24,6 +24,9 @@ Scaling mode (evidence for the north rule's N vs 4N criterion)::
     python bench.py --scaling  # runs the SAME index build at local[8] and
                                # local[32] in subprocesses, reports docs/sec
                                # at both + efficiency = (dps32/dps8)/4
+    python bench.py --scaling-query  # same protocol for the QUERY side:
+                               # the 210-query WAND batch over the SAME
+                               # pre-built index at both parallelism levels
 """
 
 from __future__ import annotations
@@ -238,6 +241,99 @@ def run_scaling(n_docs: int = SCALING_DOCS) -> dict:
     }
 
 
+def _run_query_arm(cpus: int, index_path: str) -> dict:
+    """One query-scaling arm (fresh process, see run_query_scaling): the
+    210-query WAND batch over a PRE-BUILT index. The IDENTICAL batch runs
+    once unmeasured first — that run absorbs the one-off, core-count-
+    independent costs (whole-stage codegen compilation, JVM JIT, broadcast
+    warmup, catalog/file-listing caches) — and the measured second run is
+    the steady-state batch throughput a serving tier sees (measured: the
+    first-ever 210-query batch pays a ~12 s fixed overhead that swamps the
+    parallel work at wide arms and reflects the JVM, not the engine)."""
+    from searchengine_spark.operators import shards as shards_mod
+    from searchengine_spark.plans.session import get_spark
+    from searchengine_spark.plans.wand import WandSearchEngine
+    from searchengine_spark.sources import webgen
+
+    spark = get_spark(
+        "bench-query", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
+    )
+    sharded = shards_mod.read_sharded_index(spark, index_path)
+    eng = WandSearchEngine(spark, sharded)
+    big = [
+        (i * 1000 + qid, text)
+        for i in range(10)
+        for qid, text in webgen.reference_queries()
+    ]
+    eng.search_batch(big, top_k=10).collect()
+    t0 = time.time()
+    n = len(eng.search_batch(big, top_k=10).collect())
+    dt = time.time() - t0
+    return {
+        "metric": "query_batch_210_wand",
+        "value": round(dt, 3),
+        "unit": "sec",
+        "cpus": cpus,
+        "rows": n,
+        "queries_per_sec": round(210 / dt, 2),
+    }
+
+
+def run_query_scaling(n_docs: int = SCALING_DOCS) -> dict:
+    """North-rule scaling evidence for the QUERY side: the same 210-query
+    WAND batch at local[N] vs local[4N] over the SAME pre-built index
+    (both arms read the local[4N]-built files — query throughput must not
+    depend on who built the index). Same protocol as run_scaling: fresh
+    process per arm, warm page cache, min-of-SCALING_REPEATS."""
+    lo, hi = SCALING_CPUS
+    index_path = os.path.join(BENCH_DIR, f"sharded_{n_docs}_c{hi}")
+    if not os.path.exists(os.path.join(index_path, "meta.json")):
+        env = dict(os.environ)
+        env["SPARK_GRAFT_CPUS"] = str(hi)
+        env["SPARK_GRAFT_BENCH_DOCS"] = str(n_docs)
+        env["SPARK_GRAFT_BUILD_ONLY"] = "1"
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True, text=True, env=env, cwd=REPO, check=True,
+        )
+    best: dict[int, dict] = {}
+    for _ in range(SCALING_REPEATS):
+        for cpus in (lo, hi):
+            os.system(
+                f"find {index_path} -name '*.parquet' -exec cat {{}} + "
+                "> /dev/null 2>&1"
+            )
+            env = dict(os.environ)
+            env["SPARK_GRAFT_CPUS"] = str(cpus)
+            env["SPARK_GRAFT_QUERY_INDEX"] = index_path
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                capture_output=True, text=True, env=env, cwd=REPO,
+            )
+            line = [
+                l for l in proc.stdout.strip().splitlines() if l.startswith("{")
+            ][-1]
+            res = json.loads(line)
+            if (
+                cpus not in best
+                or res["queries_per_sec"] > best[cpus]["queries_per_sec"]
+            ):
+                best[cpus] = res
+    qps_lo = best[lo]["queries_per_sec"]
+    qps_hi = best[hi]["queries_per_sec"]
+    return {
+        "metric": f"query_scaling_efficiency_{lo}_to_{hi}",
+        "value": round((qps_hi / qps_lo) / (hi / lo), 3),
+        "unit": "ratio",
+        "queries_per_sec": {f"local[{lo}]": qps_lo, f"local[{hi}]": qps_hi},
+        "batch_sec": {
+            f"local[{lo}]": best[lo]["value"],
+            f"local[{hi}]": best[hi]["value"],
+        },
+        "bench_docs": n_docs,
+    }
+
+
 def run_delete_bench(cpus: int = CPUS, n_docs: int = N_DOCS) -> dict:
     """Delete-path numbers (round-3 verdict #4), recorded in BASELINE.md:
 
@@ -352,7 +448,15 @@ def run_delete_bench(cpus: int = CPUS, n_docs: int = N_DOCS) -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if os.environ.get("SPARK_GRAFT_QUERY_INDEX"):
+        print(
+            json.dumps(
+                _run_query_arm(CPUS, os.environ["SPARK_GRAFT_QUERY_INDEX"])
+            )
+        )
+    elif "--scaling-query" in sys.argv:
+        print(json.dumps(run_query_scaling()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--delete" in sys.argv:
         print(json.dumps(run_delete_bench()))

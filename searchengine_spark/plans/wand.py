@@ -921,6 +921,16 @@ class WandSearchEngine:
                 )
                 else "broadcast"
             )
+            # NOTE (measured, 1M-doc bench corpus, BASELINE.md §query-side
+            # scaling): the k·n_shards·|batch| estimate is the emission
+            # FLOOR — a tie-heavy corpus can emit orders of magnitude more
+            # (33.6k estimated vs 1.6M refined). An over-floor emission
+            # must NOT flip this gate to direct: the direct probe is a
+            # winner-scale fetch (pyarrow row-group ranges), and a
+            # candidate set whose docno ranges span whole shards makes it
+            # re-read the docs store through pandas — measured 2× slower
+            # than this broadcast join's JVM-side scan at 1.6M candidates
+            # (an ~80 MB relation, still comfortably broadcastable).
         if docs_join == "direct" and self.index.path is None:
             raise ValueError(
                 "docs_join='direct' needs a written index (index.path); "
