@@ -545,6 +545,83 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_
 GROUP BY 1, 2"""
 
 
+JACCARD_DUP_THRESHOLD = 0.5
+
+
+def jaccard_verify_pairs(
+    pairs: DataFrame,
+    elems: DataFrame,
+    threshold: float = JACCARD_DUP_THRESHOLD,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    id_col: str = "doc_id",
+    set_col: str = "terms",
+) -> DataFrame:
+    """Exact-Jaccard VERIFICATION of sketch-generated candidate pairs — the
+    second stage of the standard near-dup pipeline (MinHash/LSH proposes,
+    exact similarity disposes; false positives from band collisions die
+    here, and only here, so the pipeline is exact given candidate recall).
+
+    ``pairs``: (id_a, id_b, *extras) candidate pairs; ``elems``: one row
+    per id with its distinct element array (``set_col``) — for MinHash over
+    tokens that is the doc's distinct TERM set, i.e. exactly the quantity
+    the sketch estimates. Appends (jaccard, is_dup) to the pair rows.
+
+    Scale shape: two hash joins keyed on the pair ids (the candidate set
+    is orders of magnitude smaller than n² — that was the sketch's job)
+    plus a map-side intersect/union size; no pairwise scan, nothing
+    quadratic, and the element arrays travel only to matched pairs."""
+    ea = elems.select(F.col(id_col).alias(id_a), F.col(set_col).alias("_sa"))
+    eb = elems.select(F.col(id_col).alias(id_b), F.col(set_col).alias("_sb"))
+    j = pairs.join(ea, id_a).join(eb, id_b)
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+    union = F.size("_sa").cast("double") + F.size("_sb").cast("double") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return j.select(
+        *[c for c in pairs.columns],
+        F.round(jac, 6).alias("jaccard"),
+        (jac >= F.lit(threshold)).cast("int").alias("is_dup"),
+    )
+
+
+def q_minhash_jaccard_verified(spark, sf_dir) -> DataFrame:
+    """The full two-stage near-dup pipeline over ``documents``: MinHash-LSH
+    candidate pairs (q_minhash_lsh_pairs — bucket join, never pairwise) →
+    exact term-set Jaccard verification (:func:`jaccard_verify_pairs`)."""
+    t = _terms(spark, sf_dir)
+    term_sets = t.groupBy("doc_id").agg(
+        F.array_distinct(F.collect_list("term")).alias("terms")
+    )
+    return jaccard_verify_pairs(q_minhash_lsh_pairs(spark, sf_dir), term_sets)
+
+
+SQL_MINHASH_JACCARD_VERIFIED = f"""WITH {_TERMS_CTE},
+sigs AS (SELECT doc_id,
+  MIN(md5('0:' || term)) AS mh0, MIN(md5('1:' || term)) AS mh1,
+  MIN(md5('2:' || term)) AS mh2, MIN(md5('3:' || term)) AS mh3
+  FROM terms GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, band,
+         CASE band WHEN 0 THEN mh0 WHEN 1 THEN mh1 WHEN 2 THEN mh2 ELSE mh3 END AS h
+  FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS band)),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(DISTINCT a.band) AS n_bands
+  FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+tsets AS (SELECT doc_id, list_distinct(list(term)) AS ts FROM terms GROUP BY doc_id),
+scored AS (
+  SELECT c.doc_a, c.doc_b, c.n_bands,
+         CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) AS i,
+         CAST(len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) AS u
+  FROM cand c JOIN tsets ta ON c.doc_a = ta.doc_id
+              JOIN tsets tb ON c.doc_b = tb.doc_id)
+SELECT doc_a, doc_b, n_bands,
+       ROUND(CASE WHEN u > 0 THEN i / u ELSE 0 END, 6) AS jaccard,
+       CAST(CASE WHEN u > 0 THEN i / u ELSE 0 END >= {JACCARD_DUP_THRESHOLD}
+            AS INTEGER) AS is_dup
+FROM scored"""
+
+
 # ---------------------------------------------------------------- dedup: SimHash
 _HEX_HI = ["8", "9", "a", "b", "c", "d", "e", "f"]
 
@@ -1676,6 +1753,7 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "doc_fingerprint": q_doc_fingerprint,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "minhash_jaccard_verified": q_minhash_jaccard_verified,
     "simhash16": q_simhash16,
     "simhash_neardup": q_simhash_neardup_pairs,
     "lang_id_heuristic": q_lang_id_heuristic,
@@ -1715,6 +1793,7 @@ ORACLE_SQL = {
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+    "minhash_jaccard_verified": SQL_MINHASH_JACCARD_VERIFIED,
     "simhash16": SQL_SIMHASH16,
     "simhash_neardup": SQL_SIMHASH_NEARDUP,
     "lang_id_heuristic": SQL_LANG_ID_HEURISTIC,

@@ -197,3 +197,31 @@ def test_simhash_banded_pairs_pigeonhole_guard(spark):
         simhash_neardup_pairs(df, n_bits=16, n_bands=4, max_hamming=4)
     with pytest.raises(ValueError, match="divisible"):
         simhash_neardup_pairs(df, n_bits=17, n_bands=4, max_hamming=3)
+
+
+def test_jaccard_verify_kills_band_collision_false_positives(spark):
+    """Stage-2 exact verification must (a) confirm true near-dups, (b) kill
+    candidate pairs that only collided on a band, (c) carry the pair's
+    extra columns through, and (d) survive empty element sets."""
+    from searchengine_spark.plans.entry_queries import jaccard_verify_pairs
+
+    elems = spark.createDataFrame(
+        [
+            (1, ["a", "b", "c", "d"]),
+            (2, ["a", "b", "c", "e"]),   # jaccard(1,2) = 3/5 = 0.6
+            (3, ["x", "y"]),             # jaccard(1,3) = 0
+            (4, []),                     # empty set: union may be 0
+        ],
+        "doc_id long, terms array<string>",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 2), (1, 3, 1), (4, 4, 4)],
+        "doc_a long, doc_b long, n_bands long",
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): (r["n_bands"], r["jaccard"], r["is_dup"])
+        for r in jaccard_verify_pairs(pairs, elems).collect()
+    }
+    assert out[(1, 2)] == (2, 0.6, 1)
+    assert out[(1, 3)] == (1, 0.0, 0)
+    assert out[(4, 4)] == (4, 0.0, 0)  # 0/0 defined as 0, not NULL
