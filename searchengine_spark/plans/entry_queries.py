@@ -426,6 +426,148 @@ SELECT doc_id,
 FROM gg"""
 
 
+# ---------------------------------------------------------------- quality: composite filter
+# Gopher-rule adaptation (Rae et al. 2021 §A1.1; thresholds theirs unless
+# noted): a doc is KEPT iff it passes every rule. Per-rule fail flags are
+# emitted so a pipeline can audit WHY mass was dropped — the operational
+# requirement that separates a filter from a score.
+QF_MIN_TOKENS = 50
+QF_MAX_TOKENS = 100_000
+QF_MIN_MEAN_WLEN = 3.0
+QF_MAX_MEAN_WLEN = 10.0
+QF_MIN_STOPWORD_RATIO = 0.05   # adapted: ratio form of Gopher's ">= 2 stopwords"
+QF_MIN_ALPHA_RATIO = 0.8       # >= 80% of tokens contain an alphabetic char
+QF_MAX_TOP2_SHARE = 0.20       # top 2-gram occupies <= 20% of 2-gram mass
+QF_MAX_TOP3_SHARE = 0.18
+
+
+def q_quality_filter(spark, sf_dir) -> DataFrame:
+    """Composite training-corpus quality FILTER over ``documents``: the
+    keep/drop materialization of the quality story (as dedup_materialize
+    is for near-dup). All signals are computed WITHIN the row via
+    higher-order array functions — the plan is map-only, zero shuffles,
+    parquet-scan speed at any corpus size. Zero-token docs fail every
+    ratio rule by definition (dropped, flags = 1)."""
+    d = _documents(spark, sf_dir)
+    stop = F.array(*[F.lit(s) for s in STOP])
+    raw = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: F.length(t) >= 1)
+    d = d.select("doc_id", raw.alias("g1"))
+    d = d.withColumn(
+        "g2",
+        F.expr(
+            "CASE WHEN size(g1) >= 2 THEN transform(sequence(0, size(g1)-2),"
+            " i -> concat(g1[i], ' ', g1[i+1])) ELSE array() END"
+        ),
+    ).withColumn(
+        "g3",
+        F.expr(
+            "CASE WHEN size(g1) >= 3 THEN transform(sequence(0, size(g1)-3),"
+            " i -> concat(g1[i], ' ', g1[i+1], ' ', g1[i+2])) ELSE array() END"
+        ),
+    )
+    n = F.size("g1").cast("long")
+    mean_wlen = F.expr(
+        "aggregate(g1, 0L, (a, t) -> a + length(t))"
+    ).cast("double") / n.cast("double")
+    stop_ratio = (
+        F.size(F.filter("g1", lambda t: F.array_contains(stop, t))).cast("double")
+        / n.cast("double")
+    )
+    alpha_ratio = (
+        F.size(F.filter("g1", lambda t: t.rlike("[a-z]"))).cast("double")
+        / n.cast("double")
+    )
+
+    def top_share(col: str):
+        mode = F.expr(
+            f"array_max(transform(array_distinct({col}),"
+            f" x -> size(filter({col}, y -> y = x))))"
+        )
+        return mode.cast("double") / F.size(col).cast("double")
+
+    def fail(cond, applicable=None):
+        # zero-token (or n-gram-less) docs FAIL ratio rules, never NULL out
+        c = F.when(cond, 1).otherwise(0)
+        if applicable is not None:
+            c = F.when(applicable, c).otherwise(F.lit(1))
+        return c.cast("int")
+
+    has_tok = n > 0
+    f_wc = fail((n < QF_MIN_TOKENS) | (n > QF_MAX_TOKENS))
+    f_wl = fail(
+        (mean_wlen < QF_MIN_MEAN_WLEN) | (mean_wlen > QF_MAX_MEAN_WLEN), has_tok
+    )
+    f_sw = fail(stop_ratio < QF_MIN_STOPWORD_RATIO, has_tok)
+    f_al = fail(alpha_ratio < QF_MIN_ALPHA_RATIO, has_tok)
+    f_t2 = fail(top_share("g2") > QF_MAX_TOP2_SHARE, F.size("g2") > 0)
+    f_t3 = fail(top_share("g3") > QF_MAX_TOP3_SHARE, F.size("g3") > 0)
+    kept = (
+        (f_wc + f_wl + f_sw + f_al + f_t2 + f_t3) == 0
+    ).cast("int")
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        f_wc.alias("fail_word_count"),
+        f_wl.alias("fail_mean_word_len"),
+        f_sw.alias("fail_stopword"),
+        f_al.alias("fail_alpha"),
+        f_t2.alias("fail_top2gram"),
+        f_t3.alias("fail_top3gram"),
+        kept.alias("is_kept"),
+    )
+
+
+SQL_QUALITY_FILTER = f"""WITH g AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> length(t) >= 1) AS g1
+  FROM documents),
+gg AS (
+  SELECT doc_id, g1,
+    CASE WHEN len(g1) >= 2 THEN list_transform(range(len(g1) - 1),
+         i -> g1[i + 1] || ' ' || g1[i + 2]) ELSE [] END AS g2,
+    CASE WHEN len(g1) >= 3 THEN list_transform(range(len(g1) - 2),
+         i -> g1[i + 1] || ' ' || g1[i + 2] || ' ' || g1[i + 3]) ELSE [] END AS g3
+  FROM g),
+m AS (
+  SELECT doc_id, len(g1) AS n,
+    CAST(list_sum(list_transform(g1, t -> len(t))) AS DOUBLE)
+      / NULLIF(len(g1), 0) AS mean_wlen,
+    CAST(len(list_filter(g1, t -> t IN {{STOP_IN}})) AS DOUBLE)
+      / NULLIF(len(g1), 0) AS stop_ratio,
+    CAST(len(list_filter(g1, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+      / NULLIF(len(g1), 0) AS alpha_ratio,
+    CAST(list_max(list_transform(list_distinct(g2),
+         x -> len(list_filter(g2, y -> y = x)))) AS DOUBLE)
+      / NULLIF(len(g2), 0) AS top2,
+    CAST(list_max(list_transform(list_distinct(g3),
+         x -> len(list_filter(g3, y -> y = x)))) AS DOUBLE)
+      / NULLIF(len(g3), 0) AS top3
+  FROM gg),
+f AS (
+  SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+    CASE WHEN n < {QF_MIN_TOKENS} OR n > {QF_MAX_TOKENS} THEN 1 ELSE 0 END
+      AS fail_word_count,
+    CASE WHEN n = 0 THEN 1 WHEN mean_wlen < {QF_MIN_MEAN_WLEN}
+         OR mean_wlen > {QF_MAX_MEAN_WLEN} THEN 1 ELSE 0 END AS fail_mean_word_len,
+    CASE WHEN n = 0 THEN 1 WHEN stop_ratio < {QF_MIN_STOPWORD_RATIO} THEN 1
+         ELSE 0 END AS fail_stopword,
+    CASE WHEN n = 0 THEN 1 WHEN alpha_ratio < {QF_MIN_ALPHA_RATIO} THEN 1
+         ELSE 0 END AS fail_alpha,
+    CASE WHEN len(g2) = 0 THEN 1 WHEN top2 > {QF_MAX_TOP2_SHARE} THEN 1
+         ELSE 0 END AS fail_top2gram,
+    CASE WHEN len(g3) = 0 THEN 1 WHEN top3 > {QF_MAX_TOP3_SHARE} THEN 1
+         ELSE 0 END AS fail_top3gram
+  FROM m JOIN gg USING (doc_id))
+SELECT doc_id, n_tokens, fail_word_count, fail_mean_word_len, fail_stopword,
+  fail_alpha, fail_top2gram, fail_top3gram,
+  CAST(CASE WHEN fail_word_count + fail_mean_word_len + fail_stopword
+       + fail_alpha + fail_top2gram + fail_top3gram = 0 THEN 1 ELSE 0 END
+       AS INTEGER) AS is_kept
+FROM f"""
+SQL_QUALITY_FILTER = SQL_QUALITY_FILTER.replace("{STOP_IN}", _STOP_IN)
+
+
 # ---------------------------------------------------------------- near-dup: n-gram jaccard
 def q_jaccard_adjacent(spark, sf_dir) -> DataFrame:
     s = _toks(spark, sf_dir).select("doc_id", F.array_distinct("toks").alias("ts"))
@@ -1748,6 +1890,7 @@ QUERIES = {
     "lang_dist": q_lang_dist,
     "quality_scores": q_quality_scores,
     "repetition_scores": q_repetition_scores,
+    "quality_filter": q_quality_filter,
     "stratified_sample": q_stratified_sample,
     "jaccard_adjacent": q_jaccard_adjacent,
     "embedding_topk": q_embedding_topk,
@@ -1788,6 +1931,7 @@ ORACLE_SQL = {
     "lang_dist": SQL_LANG_DIST,
     "quality_scores": SQL_QUALITY_SCORES,
     "repetition_scores": SQL_REPETITION_SCORES,
+    "quality_filter": SQL_QUALITY_FILTER,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "jaccard_adjacent": SQL_JACCARD_ADJACENT,
     "embedding_topk": SQL_EMBEDDING_TOPK,

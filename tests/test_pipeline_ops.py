@@ -225,3 +225,49 @@ def test_jaccard_verify_kills_band_collision_false_positives(spark):
     assert out[(1, 2)] == (2, 0.6, 1)
     assert out[(1, 3)] == (1, 0.0, 0)
     assert out[(4, 4)] == (4, 0.0, 0)  # 0/0 defined as 0, not NULL
+
+
+def test_quality_filter_rules_on_planted_docs(spark, tmp_path):
+    """Per-rule semantics of the composite quality filter: a good doc
+    passes all rules; each planted pathology trips exactly its rule(s);
+    an empty doc fails every ratio rule (flags 1, never NULL)."""
+    from searchengine_spark.plans.entry_queries import (
+        QF_MIN_TOKENS,
+        q_quality_filter,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then walks into "
+        "town where it meets many other animals of various shapes sizes "
+        "and colors before returning home for a well earned rest in its "
+        "den under the old oak tree near the quiet river bank at dusk "
+        "when all the birds have gone to sleep for the night ahead"
+    )
+    stuffed = "buy cheap pills " * 40                    # top-2/3-gram + stopword
+    short = "tiny document"                              # < QF_MIN_TOKENS
+    numeric = " ".join(str(i) for i in range(120))       # alpha ratio 0
+    rows = [(1, good), (2, stuffed), (3, short), (4, numeric), (5, "")]
+    import pandas as pd
+
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in q_quality_filter(spark, str(tmp_path)).collect()
+    }
+    assert len(good.split()) >= QF_MIN_TOKENS  # premise of the good doc
+    assert out[1]["is_kept"] == 1 and out[1]["fail_stopword"] == 0
+    assert out[2]["is_kept"] == 0 and (
+        out[2]["fail_top2gram"] == 1 or out[2]["fail_top3gram"] == 1
+    )
+    assert out[3]["is_kept"] == 0 and out[3]["fail_word_count"] == 1
+    assert out[4]["is_kept"] == 0 and out[4]["fail_alpha"] == 1
+    e = out[5]
+    assert e["is_kept"] == 0 and all(
+        e[c] == 1
+        for c in (
+            "fail_word_count", "fail_mean_word_len", "fail_stopword",
+            "fail_alpha", "fail_top2gram", "fail_top3gram",
+        )
+    )
