@@ -441,17 +441,19 @@ QF_MAX_TOP2_SHARE = 0.20       # top 2-gram occupies <= 20% of 2-gram mass
 QF_MAX_TOP3_SHARE = 0.18
 
 
-def q_quality_filter(spark, sf_dir) -> DataFrame:
-    """Composite training-corpus quality FILTER over ``documents``: the
-    keep/drop materialization of the quality story (as dedup_materialize
-    is for near-dup). All signals are computed WITHIN the row via
+def quality_flags(docs: DataFrame, keep: tuple = ()) -> DataFrame:
+    """Composite training-corpus quality FILTER: the keep/drop
+    materialization of the quality story (as dedup_materialize is for
+    near-dup). Input needs (doc_id, text); ``keep`` carries extra columns
+    through (so pipeline compositions never need a corpus-sized join to
+    reattach them). All signals are computed WITHIN the row via
     higher-order array functions — the plan is map-only, zero shuffles,
     parquet-scan speed at any corpus size. Zero-token docs fail every
     ratio rule by definition (dropped, flags = 1)."""
-    d = _documents(spark, sf_dir)
+    d = docs
     stop = F.array(*[F.lit(s) for s in STOP])
     raw = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: F.length(t) >= 1)
-    d = d.select("doc_id", raw.alias("g1"))
+    d = d.select("doc_id", *keep, raw.alias("g1"))
     d = d.withColumn(
         "g2",
         F.expr(
@@ -506,6 +508,7 @@ def q_quality_filter(spark, sf_dir) -> DataFrame:
     ).cast("int")
     return d.select(
         "doc_id",
+        *keep,
         n.alias("n_tokens"),
         f_wc.alias("fail_word_count"),
         f_wl.alias("fail_mean_word_len"),
@@ -515,6 +518,10 @@ def q_quality_filter(spark, sf_dir) -> DataFrame:
         f_t3.alias("fail_top3gram"),
         kept.alias("is_kept"),
     )
+
+
+def q_quality_filter(spark, sf_dir) -> DataFrame:
+    return quality_flags(_documents(spark, sf_dir))
 
 
 SQL_QUALITY_FILTER = f"""WITH g AS (
@@ -1878,6 +1885,112 @@ SELECT doc_id,
 FROM p"""
 
 
+# ------------------------------------------------------- pipeline capstone: corpus clean
+def q_corpus_clean(spark, sf_dir) -> DataFrame:
+    """The full training-corpus cleaning pass as ONE composed pipeline —
+    what a user of this engine actually runs before training: quality
+    filter (map-side, :func:`quality_flags`) → exact dedup (canonical =
+    min doc_id per md5(text)) → benchmark decontamination (held-out
+    md5-bucket slice, broadcast gram probe) → PII redaction (map-only).
+    Returns one row per SURVIVING doc: (doc_id, n_email, n_ipv4, has_pii,
+    redacted_md5).
+
+    Scale shape, stage by stage: quality flags are computed inline on the
+    corpus scan (zero joins — the reusable ``quality_flags`` carries text
+    through, so no corpus-sized join reattaches it); exact dedup is one
+    hash agg on md5(text) plus one doc_id-keyed join back; decontamination
+    broadcasts only the benchmark gram set and aggs per doc; the
+    contamination verdict joins back keyed on doc_id (left — docs with no
+    trigram have no verdict row and are kept). Every join in the pass is
+    keyed on doc_id or the text hash; nothing is pairwise, nothing
+    broadcasts a corpus-sized side."""
+    d = _documents(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    db = d.select(
+        "doc_id", "text", (bucket < DECON_BENCH_PER_MILLE).alias("_bench")
+    )
+    nonbench = db.where(~F.col("_bench"))
+    # quality inline on the non-bench scan; survivors keep their text
+    qual = (
+        quality_flags(nonbench, keep=("text",))
+        .where(F.col("is_kept") == 1)
+        .select("doc_id", "text")
+    )
+    # exact-dup canonical ids over the FULL corpus (copies may straddle the
+    # bench split; the canonical id is split-independent)
+    canon = (
+        d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("_h"))
+        .groupBy("_h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    contaminated = (
+        decontaminate_against(nonbench, distinct_trigrams(db.where("_bench")))
+        .where(F.col("contaminated") == 1)
+        .select("doc_id")
+    )
+    surv = (
+        qual.join(canon, "doc_id")
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    return pii_scrub(surv)
+
+
+SQL_CORPUS_CLEAN = rf"""WITH b AS (
+  SELECT doc_id, text,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % 1000 < {DECON_BENCH_PER_MILLE} AS is_bench
+  FROM documents),
+qual AS (SELECT doc_id FROM ({{SQL_QUALITY_FILTER}}) WHERE is_kept = 1),
+canon AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+t AS (
+  SELECT doc_id, is_bench,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> length(t) >= 1) AS g1
+  FROM b),
+grams AS (
+  SELECT doc_id, is_bench,
+         unnest(list_distinct(list_transform(range(1, len(g1)-1),
+                i -> g1[i] || ' ' || g1[i+1] || ' ' || g1[i+2]))) AS gram
+  FROM t),
+bench AS (SELECT DISTINCT gram FROM grams WHERE is_bench),
+contam AS (
+  SELECT g.doc_id
+  FROM grams g LEFT JOIN bench x USING (gram)
+  WHERE NOT g.is_bench
+  GROUP BY g.doc_id
+  HAVING CAST(COUNT(x.gram) AS DOUBLE) / COUNT(*) >= {DECON_FLAG_RATE}),
+surv AS (
+  SELECT doc_id, text FROM b
+  WHERE NOT is_bench
+    AND doc_id IN (SELECT doc_id FROM qual)
+    AND doc_id IN (SELECT doc_id FROM canon)
+    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+p AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '{PII_PATTERNS["email"]}', '<EMAIL>', 'g')
+           AS email_red
+  FROM surv)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{PII_PATTERNS["email"]}')) AS BIGINT)
+    AS n_email,
+  CAST(len(regexp_extract_all(email_red, '{PII_PATTERNS["ipv4"]}')) AS BIGINT)
+    AS n_ipv4,
+  CAST(CASE WHEN len(regexp_extract_all(text, '{PII_PATTERNS["email"]}'))
+            + len(regexp_extract_all(email_red, '{PII_PATTERNS["ipv4"]}')) > 0
+       THEN 1 ELSE 0 END AS INT) AS has_pii,
+  substr(md5(regexp_replace(email_red,
+           '{PII_PATTERNS["ipv4"]}', '<IP>', 'g')), 1, 8) AS redacted_md5
+FROM p"""
+SQL_CORPUS_CLEAN = SQL_CORPUS_CLEAN.replace(
+    "{SQL_QUALITY_FILTER}", SQL_QUALITY_FILTER
+)
+
+
 QUERIES = {
     "doc_token_stats": q_doc_token_stats,
     "index_stats": q_index_stats,
@@ -1917,6 +2030,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "decontaminate_ngram": q_decontaminate_ngram,
     "pii_scrub": q_pii_scrub,
+    "corpus_clean": q_corpus_clean,
 }
 
 ORACLE_SQL = {
@@ -1962,4 +2076,5 @@ ORACLE_SQL = {
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "decontaminate_ngram": SQL_DECONTAMINATE_NGRAM,
     "pii_scrub": SQL_PII_SCRUB,
+    "corpus_clean": SQL_CORPUS_CLEAN,
 }
