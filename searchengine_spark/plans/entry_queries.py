@@ -56,6 +56,10 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
 def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.functions.udfs import tokens_simple_col
 
@@ -1991,6 +1995,93 @@ SQL_CORPUS_CLEAN = SQL_CORPUS_CLEAN.replace(
 )
 
 
+# ------------------------------------------------------- events: stream analytics (batch twins)
+# The `events` table is the stream-shaped input (event_id, ts, user_id,
+# event_type, value, props). These two queries are the BATCH-verified twins
+# of the Structured Streaming semantics the engine ships
+# (streaming/incremental.py, streaming/frontier.py): gap sessionization is
+# what `applyInPandasWithState`-style session windows compute, and the
+# tumbling rollup is `groupBy(window(ts, ...))`. Epoch-second integers
+# (never raw timestamps) keep the cross-engine comparison free of
+# timezone/rendering hazards.
+SESSION_GAP_SEC = 1800
+
+
+def q_events_sessionize(spark, sf_dir) -> DataFrame:
+    """Gap-based sessionization: a session breaks when a user is idle for
+    more than SESSION_GAP_SEC. One user-keyed window (lag → new-session
+    flag → running sum = session number) + one hash agg — the standard
+    two-shuffle-max sessionize; ties broken by the unique event_id so the
+    numbering is deterministic under any partitioning."""
+    # parquet timestamps load as TIMESTAMP_NTZ; the engine session pins
+    # spark.sql.session.timeZone=UTC (plans/session.py), so NTZ→LTZ→long is
+    # the naive value's epoch seconds — exactly DuckDB's epoch_us(ts)//1e6
+    e = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp_ltz").cast("long").alias("t"),
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    gap = F.col("t") - F.lag("t").over(w)
+    e = e.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > SESSION_GAP_SEC), 1).otherwise(0),
+    ).withColumn("session_no", F.sum("is_new").over(w))
+    return e.groupBy("user_id", "session_no").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("t").alias("t_start"),
+        F.max("t").alias("t_end"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    ).select(
+        "user_id", F.col("session_no").cast("long").alias("session_no"),
+        "n_events", "t_start", "t_end", "sum_value",
+    )
+
+
+SQL_EVENTS_SESSIONIZE = f"""WITH e AS (
+  SELECT event_id, user_id, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t, value
+  FROM events),
+m AS (
+  SELECT *, CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                      IS NULL
+                 OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                      > {SESSION_GAP_SEC}
+             THEN 1 ELSE 0 END AS is_new
+  FROM e),
+s AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id)
+              AS session_no
+  FROM m)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(t) AS t_start, MAX(t) AS t_end,
+       ROUND(SUM(value), 4) AS sum_value
+FROM s GROUP BY user_id, session_no"""
+
+
+def q_events_hourly(spark, sf_dir) -> DataFrame:
+    """Tumbling one-hour rollup per event type — the batch twin of
+    ``groupBy(window(ts, "1 hour"), event_type)``. The window key is pure
+    epoch arithmetic (map-side), so the whole plan is one hash agg."""
+    e = _events(spark, sf_dir)
+    t = F.col("ts").cast("timestamp_ltz").cast("long")
+    hour = (t - (t % 3600)).alias("hour_start")
+    return e.groupBy(hour, "event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+SQL_EVENTS_HOURLY = """WITH e AS (
+  SELECT CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t, event_type, value
+  FROM events)
+SELECT t - (t % 3600) AS hour_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM e GROUP BY 1, 2"""
+
+
 QUERIES = {
     "doc_token_stats": q_doc_token_stats,
     "index_stats": q_index_stats,
@@ -2031,6 +2122,8 @@ QUERIES = {
     "decontaminate_ngram": q_decontaminate_ngram,
     "pii_scrub": q_pii_scrub,
     "corpus_clean": q_corpus_clean,
+    "events_sessionize": q_events_sessionize,
+    "events_hourly": q_events_hourly,
 }
 
 ORACLE_SQL = {
@@ -2077,4 +2170,6 @@ ORACLE_SQL = {
     "decontaminate_ngram": SQL_DECONTAMINATE_NGRAM,
     "pii_scrub": SQL_PII_SCRUB,
     "corpus_clean": SQL_CORPUS_CLEAN,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "events_hourly": SQL_EVENTS_HOURLY,
 }
