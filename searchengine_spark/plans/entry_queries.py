@@ -72,6 +72,65 @@ def _terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _toks(spark, sf_dir).select("doc_id", F.explode("toks").alias("term"))
 
 
+def _raw_tokens_col(text_col: str = "text"):
+    """THE raw-token definition every text-pipeline operator shares:
+    lowercased maximal [a-z0-9]+ runs. Single-sourced so 'what is a
+    token' can never silently diverge between operators (it was copied
+    5× before round 4's second review pass). NULL text tokenizes as the
+    EMPTY array — a NULL doc is a zero-token doc, not a NULL-propagating
+    one — and every SQL twin coalesces identically."""
+    return F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z0-9]+"),
+        lambda t: F.length(t) >= 1,
+    )
+
+
+def _with_word_ngrams(d: DataFrame) -> DataFrame:
+    """Add g2/g3 word-n-gram arrays to a frame carrying g1 (see
+    _raw_tokens_col). CASE guards because sequence(1, 0) ramps DOWN in
+    Spark rather than returning an empty array."""
+    return d.withColumn(
+        "g2",
+        F.expr(
+            "CASE WHEN size(g1) >= 2 THEN transform(sequence(0, size(g1)-2),"
+            " i -> concat(g1[i], ' ', g1[i+1])) ELSE array() END"
+        ),
+    ).withColumn(
+        "g3",
+        F.expr(
+            "CASE WHEN size(g1) >= 3 THEN transform(sequence(0, size(g1)-3),"
+            " i -> concat(g1[i], ' ', g1[i+1], ' ', g1[i+2])) ELSE array() END"
+        ),
+    )
+
+
+def _mode_count_expr(col: str):
+    """Occurrence count of the most frequent element of array column
+    ``col`` — O(distinct × length) per row (bounded by page length)."""
+    return F.expr(
+        f"array_max(transform(array_distinct({col}),"
+        f" x -> size(filter({col}, y -> y = x))))"
+    )
+
+
+def _md5_bucket_expr(id_col: str = "doc_id"):
+    """Deterministic per-mille bucket in [0, 1000): the engine-stable hash
+    split shared by stratified sampling, decontamination's held-out
+    benchmark slice, and the corpus_clean capstone — one definition, so
+    the benchmark slice can never de-synchronize between the standalone
+    and composed pipelines. SQL twin: _SQL_MD5_BUCKET."""
+    return (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000
+    )
+
+
+_SQL_MD5_BUCKET = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000"
+)
+
+
 # ---------------------------------------------------------------- A2/A5: doc stats
 def q_doc_token_stats(spark, sf_dir) -> DataFrame:
     return _toks(spark, sf_dir).select(
@@ -288,7 +347,7 @@ FROM documents GROUP BY lang"""
 def q_quality_scores(spark, sf_dir) -> DataFrame:
     d = _documents(spark, sf_dir)
     stop = F.array(*[F.lit(s) for s in STOP])
-    raw = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: F.length(t) >= 1)
+    raw = _raw_tokens_col()
     n_tok = F.size(raw).cast("long")
     n_stop = F.size(F.filter(raw, lambda t: F.array_contains(stop, t))).cast("long")
     n_distinct = F.size(F.array_distinct(raw)).cast("long")
@@ -303,7 +362,7 @@ def q_quality_scores(spark, sf_dir) -> DataFrame:
 
 
 SQL_QUALITY_SCORES = f"""WITH raw AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
                              t -> length(t) >= 1) AS raw
   FROM documents)
 SELECT doc_id,
@@ -330,11 +389,7 @@ def q_stratified_sample(spark, sf_dir) -> DataFrame:
     audit (total vs sampled) the pipeline would log.
     """
     d = _documents(spark, sf_dir)
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 1000
-    )
+    bucket = _md5_bucket_expr()
     rate = F.when(
         F.col("lang") == "en", F.lit(STRATA_RATE_PER_MILLE["en"])
     ).otherwise(F.lit(STRATA_DEFAULT_RATE))
@@ -348,10 +403,10 @@ def q_stratified_sample(spark, sf_dir) -> DataFrame:
     )
 
 
-SQL_STRATIFIED_SAMPLE = """SELECT lang,
+SQL_STRATIFIED_SAMPLE = f"""SELECT lang,
   CAST(COUNT(*) AS BIGINT) AS n_docs,
   CAST(SUM(CASE WHEN
-        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000
+        {_SQL_MD5_BUCKET}
         < (CASE WHEN lang = 'en' THEN 500 ELSE 200 END)
       THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
 FROM documents GROUP BY lang"""
@@ -370,29 +425,14 @@ def q_repetition_scores(spark, sf_dir) -> DataFrame:
     length, not corpus size.
     """
     d = _documents(spark, sf_dir)
-    raw = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: F.length(t) >= 1)
+    raw = _raw_tokens_col()
     d = d.select("doc_id", raw.alias("g1"))
     # n-grams via index transforms; CASE guards because sequence(1, 0)
     # ramps DOWN in Spark rather than returning an empty array
-    d = d.withColumn(
-        "g2",
-        F.expr(
-            "CASE WHEN size(g1) >= 2 THEN transform(sequence(0, size(g1)-2),"
-            " i -> concat(g1[i], ' ', g1[i+1])) ELSE array() END"
-        ),
-    ).withColumn(
-        "g3",
-        F.expr(
-            "CASE WHEN size(g1) >= 3 THEN transform(sequence(0, size(g1)-3),"
-            " i -> concat(g1[i], ' ', g1[i+1], ' ', g1[i+2])) ELSE array() END"
-        ),
-    )
+    d = _with_word_ngrams(d)
 
     def share(col: str):
-        mode = F.expr(
-            f"array_max(transform(array_distinct({col}),"
-            f" x -> size(filter({col}, y -> y = x))))"
-        )
+        mode = _mode_count_expr(col)
         denom = F.when(F.size(col) > 0, F.size(col).cast("double"))
         return F.round(mode.cast("double") / denom, 6)
 
@@ -407,7 +447,7 @@ def q_repetition_scores(spark, sf_dir) -> DataFrame:
 
 SQL_REPETITION_SCORES = """WITH g AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
                      t -> length(t) >= 1) AS g1
   FROM documents),
 gg AS (
@@ -451,26 +491,18 @@ def quality_flags(docs: DataFrame, keep: tuple = ()) -> DataFrame:
     near-dup). Input needs (doc_id, text); ``keep`` carries extra columns
     through (so pipeline compositions never need a corpus-sized join to
     reattach them). All signals are computed WITHIN the row via
-    higher-order array functions — the plan is map-only, zero shuffles,
-    parquet-scan speed at any corpus size. Zero-token docs fail every
-    ratio rule by definition (dropped, flags = 1)."""
+    higher-order array functions — the plan is map-only with zero
+    shuffles; per-row cost is O(distinct-grams × grams) for the top-share
+    rules (bounded by page length — a near-cap 100k-token page is the
+    worst case), never corpus size. Zero-token docs — including NULL
+    text, which tokenizes as empty on BOTH engines (_raw_tokens_col) —
+    fail every ratio rule by definition (dropped, flags = 1, never
+    NULL)."""
     d = docs
     stop = F.array(*[F.lit(s) for s in STOP])
-    raw = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: F.length(t) >= 1)
+    raw = _raw_tokens_col()
     d = d.select("doc_id", *keep, raw.alias("g1"))
-    d = d.withColumn(
-        "g2",
-        F.expr(
-            "CASE WHEN size(g1) >= 2 THEN transform(sequence(0, size(g1)-2),"
-            " i -> concat(g1[i], ' ', g1[i+1])) ELSE array() END"
-        ),
-    ).withColumn(
-        "g3",
-        F.expr(
-            "CASE WHEN size(g1) >= 3 THEN transform(sequence(0, size(g1)-3),"
-            " i -> concat(g1[i], ' ', g1[i+1], ' ', g1[i+2])) ELSE array() END"
-        ),
-    )
+    d = _with_word_ngrams(d)
     n = F.size("g1").cast("long")
     mean_wlen = F.expr(
         "aggregate(g1, 0L, (a, t) -> a + length(t))"
@@ -485,10 +517,7 @@ def quality_flags(docs: DataFrame, keep: tuple = ()) -> DataFrame:
     )
 
     def top_share(col: str):
-        mode = F.expr(
-            f"array_max(transform(array_distinct({col}),"
-            f" x -> size(filter({col}, y -> y = x))))"
-        )
+        mode = _mode_count_expr(col)
         return mode.cast("double") / F.size(col).cast("double")
 
     def fail(cond, applicable=None):
@@ -530,7 +559,7 @@ def q_quality_filter(spark, sf_dir) -> DataFrame:
 
 SQL_QUALITY_FILTER = f"""WITH g AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
                      t -> length(t) >= 1) AS g1
   FROM documents),
 gg AS (
@@ -723,10 +752,36 @@ def jaccard_verify_pairs(
     Scale shape: two hash joins keyed on the pair ids (the candidate set
     is orders of magnitude smaller than n² — that was the sketch's job)
     plus a map-side intersect/union size; no pairwise scan, nothing
-    quadratic, and the element arrays travel only to matched pairs."""
+    quadratic, and the element arrays travel only to matched pairs.
+
+    A pair id with NO row in ``elems`` (mismatched tokenizer runs, a
+    stale snapshot) fails LOUDLY at execution instead of silently
+    vanishing from the output — a proposed near-dup must be confirmed or
+    rejected, never dropped unjudged (same contract as the PQ codebook
+    and phrase extra_cols guards)."""
+
+    def _guarded(side: str, idc: str):
+        return F.when(F.col(side).isNotNull(), F.col(side)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "jaccard_verify_pairs: no element-set row for "
+                        f"pair id in '{idc}' (id="
+                    ),
+                    F.col(idc).cast("string"),
+                    F.lit(") — pairs and elems disagree on the id universe"),
+                )
+            )
+        )
+
     ea = elems.select(F.col(id_col).alias(id_a), F.col(set_col).alias("_sa"))
     eb = elems.select(F.col(id_col).alias(id_b), F.col(set_col).alias("_sb"))
-    j = pairs.join(ea, id_a).join(eb, id_b)
+    j = (
+        pairs.join(ea, id_a, "left")
+        .join(eb, id_b, "left")
+        .withColumn("_sa", _guarded("_sa", id_a))
+        .withColumn("_sb", _guarded("_sb", id_b))
+    )
     inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
     union = F.size("_sa").cast("double") + F.size("_sb").cast("double") - inter
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
@@ -748,19 +803,10 @@ def q_minhash_jaccard_verified(spark, sf_dir) -> DataFrame:
     return jaccard_verify_pairs(q_minhash_lsh_pairs(spark, sf_dir), term_sets)
 
 
+# the candidate stage is the LSH oracle itself, embedded as a subquery —
+# never a copy: a change to the banding updates BOTH twins or neither
 SQL_MINHASH_JACCARD_VERIFIED = f"""WITH {_TERMS_CTE},
-sigs AS (SELECT doc_id,
-  MIN(md5('0:' || term)) AS mh0, MIN(md5('1:' || term)) AS mh1,
-  MIN(md5('2:' || term)) AS mh2, MIN(md5('3:' || term)) AS mh3
-  FROM terms GROUP BY doc_id),
-bands AS (
-  SELECT doc_id, band,
-         CASE band WHEN 0 THEN mh0 WHEN 1 THEN mh1 WHEN 2 THEN mh2 ELSE mh3 END AS h
-  FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS band)),
-cand AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(DISTINCT a.band) AS n_bands
-  FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
+cand AS (SELECT * FROM ({{SQL_MINHASH_LSH_PAIRS}})),
 tsets AS (SELECT doc_id, list_distinct(list(term)) AS ts FROM terms GROUP BY doc_id),
 scored AS (
   SELECT c.doc_a, c.doc_b, c.n_bands,
@@ -773,6 +819,9 @@ SELECT doc_a, doc_b, n_bands,
        CAST(CASE WHEN u > 0 THEN i / u ELSE 0 END >= {JACCARD_DUP_THRESHOLD}
             AS INTEGER) AS is_dup
 FROM scored"""
+SQL_MINHASH_JACCARD_VERIFIED = SQL_MINHASH_JACCARD_VERIFIED.replace(
+    "{SQL_MINHASH_LSH_PAIRS}", SQL_MINHASH_LSH_PAIRS
+)
 
 
 # ---------------------------------------------------------------- dedup: SimHash
@@ -920,7 +969,7 @@ def q_lang_id_heuristic(spark, sf_dir) -> DataFrame:
     agreement against the labeled lang column per language."""
     d = _documents(spark, sf_dir)
     stop = F.array(*[F.lit(s) for s in STOP])
-    raw = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: F.length(t) >= 1)
+    raw = _raw_tokens_col()
     ratio = F.size(F.filter(raw, lambda t: F.array_contains(stop, t))).cast(
         "double"
     ) / F.when(F.size(raw) > 0, F.size(raw).cast("double"))
@@ -936,7 +985,7 @@ def q_lang_id_heuristic(spark, sf_dir) -> DataFrame:
 
 
 SQL_LANG_ID_HEURISTIC = f"""WITH raw AS (
-  SELECT lang, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+  SELECT lang, list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
                            t -> length(t) >= 1) AS raw
   FROM documents),
 scored AS (
@@ -1711,9 +1760,7 @@ def distinct_trigrams(docs: DataFrame, keep: tuple = ()) -> DataFrame:
     and the document side of decontamination use — they must tokenize and
     gram identically for overlap to mean anything. Map-only (higher-order
     array fns + explode)."""
-    g1 = F.filter(
-        F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: F.length(t) >= 1
-    )
+    g1 = _raw_tokens_col()
     return (
         docs.select(*keep, g1.alias("g1"))
         .withColumn(
@@ -1793,11 +1840,7 @@ def q_decontaminate_ngram(spark, sf_dir) -> DataFrame:
     benchmark; every non-benchmark doc reports its distinct-trigram overlap
     with the benchmark's gram set and a contaminated flag."""
     d = _documents(spark, sf_dir)
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 1000
-    )
+    bucket = _md5_bucket_expr()
     d = d.select("doc_id", "text", (bucket < DECON_BENCH_PER_MILLE).alias("is_bench"))
     bench_grams = distinct_trigrams(d.where("is_bench"))
     return decontaminate_against(d.where(~F.col("is_bench")), bench_grams)
@@ -1805,10 +1848,9 @@ def q_decontaminate_ngram(spark, sf_dir) -> DataFrame:
 
 SQL_DECONTAMINATE_NGRAM = f"""WITH t AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
                      t -> length(t) >= 1) AS g1,
-         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
-           % 1000 < {DECON_BENCH_PER_MILLE} AS is_bench
+         {_SQL_MD5_BUCKET} < {DECON_BENCH_PER_MILLE} AS is_bench
   FROM documents),
 grams AS (
   SELECT doc_id, is_bench,
@@ -1871,11 +1913,14 @@ def q_pii_scrub(spark, sf_dir) -> DataFrame:
     return pii_scrub(_documents(spark, sf_dir))
 
 
-SQL_PII_SCRUB = rf"""WITH p AS (
+# {SRC}-parameterized template: SQL_PII_SCRUB instantiates it on
+# `documents`, the corpus_clean twin on its survivor CTE — one body, so a
+# pattern or replace-order change can never fork the two oracles
+_SQL_PII_TEMPLATE = rf"""WITH p AS (
   SELECT doc_id, text,
          regexp_replace(text, '{PII_PATTERNS["email"]}', '<EMAIL>', 'g')
            AS email_red
-  FROM documents)
+  FROM {{SRC}})
 SELECT doc_id,
   CAST(len(regexp_extract_all(text, '{PII_PATTERNS["email"]}')) AS BIGINT)
     AS n_email,
@@ -1887,6 +1932,7 @@ SELECT doc_id,
   substr(md5(regexp_replace(email_red,
            '{PII_PATTERNS["ipv4"]}', '<IP>', 'g')), 1, 8) AS redacted_md5
 FROM p"""
+SQL_PII_SCRUB = _SQL_PII_TEMPLATE.replace("{SRC}", "documents")
 
 
 # ------------------------------------------------------- pipeline capstone: corpus clean
@@ -1909,11 +1955,7 @@ def q_corpus_clean(spark, sf_dir) -> DataFrame:
     keyed on doc_id or the text hash; nothing is pairwise, nothing
     broadcasts a corpus-sized side."""
     d = _documents(spark, sf_dir)
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 1000
-    )
+    bucket = _md5_bucket_expr()
     db = d.select(
         "doc_id", "text", (bucket < DECON_BENCH_PER_MILLE).alias("_bench")
     )
@@ -1946,52 +1988,26 @@ def q_corpus_clean(spark, sf_dir) -> DataFrame:
 
 SQL_CORPUS_CLEAN = rf"""WITH b AS (
   SELECT doc_id, text,
-         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
-           % 1000 < {DECON_BENCH_PER_MILLE} AS is_bench
+         {_SQL_MD5_BUCKET} < {DECON_BENCH_PER_MILLE} AS is_bench
   FROM documents),
 qual AS (SELECT doc_id FROM ({{SQL_QUALITY_FILTER}}) WHERE is_kept = 1),
 canon AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-t AS (
-  SELECT doc_id, is_bench,
-         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                     t -> length(t) >= 1) AS g1
-  FROM b),
-grams AS (
-  SELECT doc_id, is_bench,
-         unnest(list_distinct(list_transform(range(1, len(g1)-1),
-                i -> g1[i] || ' ' || g1[i+1] || ' ' || g1[i+2]))) AS gram
-  FROM t),
-bench AS (SELECT DISTINCT gram FROM grams WHERE is_bench),
-contam AS (
-  SELECT g.doc_id
-  FROM grams g LEFT JOIN bench x USING (gram)
-  WHERE NOT g.is_bench
-  GROUP BY g.doc_id
-  HAVING CAST(COUNT(x.gram) AS DOUBLE) / COUNT(*) >= {DECON_FLAG_RATE}),
+contam AS (SELECT doc_id FROM ({{SQL_DECONTAMINATE_NGRAM}})
+           WHERE contaminated = 1),
 surv AS (
   SELECT doc_id, text FROM b
   WHERE NOT is_bench
     AND doc_id IN (SELECT doc_id FROM qual)
     AND doc_id IN (SELECT doc_id FROM canon)
-    AND doc_id NOT IN (SELECT doc_id FROM contam)),
-p AS (
-  SELECT doc_id, text,
-         regexp_replace(text, '{PII_PATTERNS["email"]}', '<EMAIL>', 'g')
-           AS email_red
-  FROM surv)
-SELECT doc_id,
-  CAST(len(regexp_extract_all(text, '{PII_PATTERNS["email"]}')) AS BIGINT)
-    AS n_email,
-  CAST(len(regexp_extract_all(email_red, '{PII_PATTERNS["ipv4"]}')) AS BIGINT)
-    AS n_ipv4,
-  CAST(CASE WHEN len(regexp_extract_all(text, '{PII_PATTERNS["email"]}'))
-            + len(regexp_extract_all(email_red, '{PII_PATTERNS["ipv4"]}')) > 0
-       THEN 1 ELSE 0 END AS INT) AS has_pii,
-  substr(md5(regexp_replace(email_red,
-           '{PII_PATTERNS["ipv4"]}', '<IP>', 'g')), 1, 8) AS redacted_md5
-FROM p"""
-SQL_CORPUS_CLEAN = SQL_CORPUS_CLEAN.replace(
-    "{SQL_QUALITY_FILTER}", SQL_QUALITY_FILTER
+    AND doc_id NOT IN (SELECT doc_id FROM contam))
+SELECT * FROM ({{SQL_PII_ON_SURV}})"""
+# every stage twin is EMBEDDED, never copied — the quality, decontamination
+# and PII oracles are the single source of truth for their semantics, so a
+# stage change updates the standalone twin and this composed twin together
+SQL_CORPUS_CLEAN = (
+    SQL_CORPUS_CLEAN.replace("{SQL_QUALITY_FILTER}", SQL_QUALITY_FILTER)
+    .replace("{SQL_DECONTAMINATE_NGRAM}", SQL_DECONTAMINATE_NGRAM)
+    .replace("{SQL_PII_ON_SURV}", _SQL_PII_TEMPLATE.replace("{SRC}", "surv"))
 )
 
 

@@ -271,3 +271,56 @@ def test_quality_filter_rules_on_planted_docs(spark, tmp_path):
             "fail_alpha", "fail_top2gram", "fail_top3gram",
         )
     )
+
+
+def test_quality_flags_null_text_fails_all_rules_on_both_engines(spark, tmp_path):
+    """Round-4 review finding: NULL text must behave as a ZERO-TOKEN doc —
+    every ratio rule fails with flag 1 (never NULL, never 0) — and the
+    two engines must agree row-for-row (the old Spark fail() NULL-logic
+    and the DuckDB 'CASE WHEN n = 0' silently disagreed on NULL)."""
+    import duckdb
+    import pandas as pd
+
+    from searchengine_spark.plans.entry_queries import (
+        SQL_QUALITY_FILTER,
+        q_quality_filter,
+    )
+
+    pd.DataFrame(
+        {"doc_id": [1, 2], "text": [None, "short text"]}
+    ).to_parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in q_quality_filter(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    cols = [d[0] for d in con.execute(SQL_QUALITY_FILTER).description]
+    oracle = {
+        row[0]: dict(zip(cols, row))
+        for row in con.execute(SQL_QUALITY_FILTER).fetchall()
+    }
+    assert got[1]["n_tokens"] == 0 and got[1]["is_kept"] == 0
+    for c in ("fail_word_count", "fail_mean_word_len", "fail_stopword",
+              "fail_alpha", "fail_top2gram", "fail_top3gram"):
+        assert got[1][c] == 1, c
+    for did in (1, 2):
+        assert got[did] == oracle[did], (did, got[did], oracle[did])
+
+
+def test_jaccard_verify_missing_element_row_fails_loudly(spark):
+    """A pair id absent from elems must raise at execution, not silently
+    vanish (an unjudged near-dup candidate must never read as clean)."""
+    from searchengine_spark.plans.entry_queries import jaccard_verify_pairs
+
+    elems = spark.createDataFrame(
+        [(1, ["a", "b"])], "doc_id long, terms array<string>"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 99, 2)], "doc_a long, doc_b long, n_bands long"
+    )
+    with pytest.raises(Exception, match="id universe|element-set"):
+        jaccard_verify_pairs(pairs, elems).collect()
