@@ -171,3 +171,33 @@ def sessionize_stream(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def hourly_rollup_stream(
+    events: DataFrame,
+    watermark_delay: str = "0 seconds",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming tumbling 1-hour rollup — the built-in-operator twin of
+    ``q_events_hourly`` (where sessionization above needs a CUSTOM stateful
+    kernel, this needs none: ``groupBy(window(...))`` + a watermark is the
+    whole operator, and Spark manages the window state). Append mode emits
+    each (hour, event_type) row exactly once, when the watermark passes
+    the hour's end. Output schema matches the batch twin: (hour_start
+    epoch-seconds, event_type, n_events, sum_value)."""
+    e = events.select(
+        F.col(ts_col).cast("timestamp").alias("_ts"), "event_type", "value"
+    ).withWatermark("_ts", watermark_delay)
+    return (
+        e.groupBy(F.window("_ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -171,3 +171,74 @@ def test_numbering_continues_after_flush_across_restart(spark, tmp_path):
     got2 = _run(spark, str(in_dir), work, watermark_delay="0 seconds")
     batch = _batch_sessions(ALL + file4)
     assert got2[(1, 3)] == batch[(1, 3)], got2  # numbering continued: 3
+
+
+def test_hourly_rollup_stream_matches_batch_closed_windows(spark, tmp_path):
+    """Built-in tumbling window + watermark: every (hour, type) row the
+    stream emits must equal the batch rollup's row, and every window the
+    watermark closed must be emitted (only windows at/after the final
+    watermark may be withheld)."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    rows = [
+        # two types across three distinct hours + one far-future event
+        (1, 1, BASE + 0, 1.0, "view"),
+        (2, 1, BASE + 100, 2.0, "view"),
+        (3, 2, BASE + 200, 5.0, "click"),
+        (4, 1, BASE + 4000, 3.0, "view"),
+        (5, 2, BASE + 7300, 7.0, "click"),
+        (6, 3, BASE + 100_000, 9.0, "view"),
+    ]
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "user_id": [r[1] for r in rows],
+            "ts": pd.to_datetime([r[2] for r in rows], unit="s").astype(
+                "datetime64[us]"
+            ),
+            "value": [r[3] for r in rows],
+            "event_type": [r[4] for r in rows],
+        }
+    ).to_parquet(str(in_dir / "f0.parquet"))
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+        TimestampNTZType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampNTZType()),
+            StructField("value", DoubleType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(str(in_dir))
+    out = sess_mod.hourly_rollup_stream(stream)
+    sink = str(tmp_path / "sink")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["hour_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    # batch twin semantics, folded in plain python
+    batch = {}
+    for _, _, t, v, et in rows:
+        k = (t - t % 3600, et)
+        n, s = batch.get(k, (0, 0.0))
+        batch[k] = (n + 1, round(s + v, 4))
+    final_wm = max(r[2] for r in rows)  # 0-second delay
+    closed = {k: v for k, v in batch.items() if k[0] + 3600 <= final_wm}
+    # every emitted row is batch-exact, and all closed windows are emitted
+    for k, v in got.items():
+        assert batch[k] == v, (k, v, batch[k])
+    assert set(closed) <= set(got), (sorted(closed), sorted(got))
