@@ -242,3 +242,25 @@ def test_hourly_rollup_stream_matches_batch_closed_windows(spark, tmp_path):
     for k, v in got.items():
         assert batch[k] == v, (k, v, batch[k])
     assert set(closed) <= set(got), (sorted(closed), sorted(got))
+
+
+def test_hot_user_state_stays_o1_and_output_exact(spark, tmp_path):
+    """A single user emitting thousands of events across many sessions
+    must not grow state (one fixed-width row) and must sessionize
+    batch-identically — the skew case a 100 TB event log actually has."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    rows = []
+    t = BASE
+    for i in range(2000):
+        # bursts of 4 events 10 s apart, then a gap that closes the session
+        t += (GAP + 60) if i % 4 == 0 else 10
+        rows.append((i + 1, 7, t, float(i % 5)))
+    _write_file(str(in_dir / "f0.parquet"), rows[:1000])
+    _write_file(str(in_dir / "f1.parquet"), rows[1000:])
+    got = _run(spark, str(in_dir), str(tmp_path / "w"), watermark_delay=None)
+    batch = _batch_sessions(rows)
+    last = max(sn for (_, sn) in batch)
+    want = {k: v for k, v in batch.items() if k[1] != last}
+    assert len(want) == 499  # 500 sessions, one still open
+    assert got == want
