@@ -334,6 +334,52 @@ def run_query_scaling(n_docs: int = SCALING_DOCS) -> dict:
     }
 
 
+PIPELINE_QUERIES = (
+    "quality_filter",
+    "simhash_neardup",
+    "minhash_jaccard_verified",
+    "dedup_materialize",
+    "decontaminate_ngram",
+    "pii_scrub",
+    "corpus_clean",
+)
+
+
+def run_pipeline_bench(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
+    """Training-data pipeline throughput at the driver's SF (separate from
+    the headline bench so round-over-round totals stay comparable): wall
+    time per oracle-checked pipeline operator over the `documents` table,
+    plus docs/sec for the composed corpus_clean pass."""
+    from searchengine_spark.plans import entry_queries
+    from searchengine_spark.plans.session import get_spark
+
+    spark = get_spark(
+        "bench-pipeline", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
+    )
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    queries: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in PIPELINE_QUERIES:
+        fn = entry_queries.QUERIES[name]
+        t0 = time.time()
+        rows[name] = len(fn(spark, sf_dir).collect())
+        queries[name] = round(time.time() - t0, 3)
+    total = round(sum(queries.values()), 3)
+    return {
+        "metric": "pipeline_ops_total",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "rows": rows,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "n_docs": n_docs,
+        "cpus": cpus,
+        "corpus_clean_docs_per_sec": round(
+            n_docs / queries["corpus_clean"], 1
+        ),
+    }
+
+
 def run_delete_bench(cpus: int = CPUS, n_docs: int = N_DOCS) -> dict:
     """Delete-path numbers (round-3 verdict #4), recorded in BASELINE.md:
 
@@ -456,6 +502,8 @@ if __name__ == "__main__":
         )
     elif "--scaling-query" in sys.argv:
         print(json.dumps(run_query_scaling()))
+    elif "--pipeline" in sys.argv:
+        print(json.dumps(run_pipeline_bench()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--delete" in sys.argv:
