@@ -106,10 +106,23 @@ def _with_word_ngrams(d: DataFrame) -> DataFrame:
 
 def _mode_count_expr(col: str):
     """Occurrence count of the most frequent element of array column
-    ``col`` — O(distinct × length) per row (bounded by page length)."""
+    ``col`` (NULL on the empty array, matching array_max's semantics):
+    sort the array once, then the longest equal run in one aggregate
+    fold — O(n log n) per row. The previous transform/array_distinct
+    form was O(distinct × n) per row: a near-cap 100k-token page cost
+    ~10^10 comparisons in ONE row, a single-task straggler on any real
+    web corpus (round-4 verdict #1). Same value by construction (max
+    multiplicity == longest run in sorted order), so every hash-pinned
+    oracle row is unchanged; the DuckDB twins keep the naive form — it
+    is value-identical and only ever runs at oracle scale (sf0.01)."""
     return F.expr(
-        f"array_max(transform(array_distinct({col}),"
-        f" x -> size(filter({col}, y -> y = x))))"
+        f"nullif(aggregate(array_sort({col}),"
+        " named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),"
+        " (a, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', IF(a.prev <=> x, a.run + 1, 1),"
+        "   'best', GREATEST(a.best, IF(a.prev <=> x, a.run + 1, 1))),"
+        " a -> a.best), 0)"
     )
 
 
@@ -419,10 +432,10 @@ def q_repetition_scores(spark, sf_dir) -> DataFrame:
     keyword-stuffed pages that should be dropped from a training corpus.
 
     Scale design: every metric is computed WITHIN the row via higher-order
-    array functions (transform / filter / array_max) — the plan is map-only
-    with zero shuffles, so it runs at parquet-scan speed on any corpus
-    size. Per-row cost is O(distinct-grams x grams), bounded by page
-    length, not corpus size.
+    array functions — the plan is map-only with zero shuffles, so it runs
+    at parquet-scan speed on any corpus size. Per-row cost is O(n log n)
+    (sorted longest-equal-run, _mode_count_expr), bounded by page length,
+    not corpus size.
     """
     d = _documents(spark, sf_dir)
     raw = _raw_tokens_col()
@@ -492,12 +505,16 @@ def quality_flags(docs: DataFrame, keep: tuple = ()) -> DataFrame:
     through (so pipeline compositions never need a corpus-sized join to
     reattach them). All signals are computed WITHIN the row via
     higher-order array functions — the plan is map-only with zero
-    shuffles; per-row cost is O(distinct-grams × grams) for the top-share
-    rules (bounded by page length — a near-cap 100k-token page is the
-    worst case), never corpus size. Zero-token docs — including NULL
-    text, which tokenizes as empty on BOTH engines (_raw_tokens_col) —
-    fail every ratio rule by definition (dropped, flags = 1, never
-    NULL)."""
+    shuffles; per-row cost is O(n log n) for the top-share rules
+    (sort + longest-equal-run, _mode_count_expr) and they are gated
+    behind the word-count cap — a doc past QF_MAX_TOKENS is dropped by
+    fail_word_count regardless, so its (arbitrarily long) n-gram arrays
+    are never sorted and the top-share flags read 1 (rule not evaluated
+    ≡ failed, the same convention zero-token docs follow). Per-row cost
+    is therefore bounded by QF_MAX_TOKENS·log, never page length, never
+    corpus size. Zero-token docs — including NULL text, which tokenizes
+    as empty on BOTH engines (_raw_tokens_col) — fail every ratio rule
+    by definition (dropped, flags = 1, never NULL)."""
     d = docs
     stop = F.array(*[F.lit(s) for s in STOP])
     raw = _raw_tokens_col()
@@ -534,8 +551,15 @@ def quality_flags(docs: DataFrame, keep: tuple = ()) -> DataFrame:
     )
     f_sw = fail(stop_ratio < QF_MIN_STOPWORD_RATIO, has_tok)
     f_al = fail(alpha_ratio < QF_MIN_ALPHA_RATIO, has_tok)
-    f_t2 = fail(top_share("g2") > QF_MAX_TOP2_SHARE, F.size("g2") > 0)
-    f_t3 = fail(top_share("g3") > QF_MAX_TOP3_SHARE, F.size("g3") > 0)
+    # top-share rules gated behind the word-count cap (see docstring):
+    # the conditional evaluation is what bounds the per-row sort cost
+    within_cap = n <= QF_MAX_TOKENS
+    f_t2 = fail(
+        top_share("g2") > QF_MAX_TOP2_SHARE, (F.size("g2") > 0) & within_cap
+    )
+    f_t3 = fail(
+        top_share("g3") > QF_MAX_TOP3_SHARE, (F.size("g3") > 0) & within_cap
+    )
     kept = (
         (f_wc + f_wl + f_sw + f_al + f_t2 + f_t3) == 0
     ).cast("int")
@@ -594,9 +618,11 @@ f AS (
          ELSE 0 END AS fail_stopword,
     CASE WHEN n = 0 THEN 1 WHEN alpha_ratio < {QF_MIN_ALPHA_RATIO} THEN 1
          ELSE 0 END AS fail_alpha,
-    CASE WHEN len(g2) = 0 THEN 1 WHEN top2 > {QF_MAX_TOP2_SHARE} THEN 1
+    CASE WHEN len(g2) = 0 OR n > {QF_MAX_TOKENS} THEN 1
+         WHEN top2 > {QF_MAX_TOP2_SHARE} THEN 1
          ELSE 0 END AS fail_top2gram,
-    CASE WHEN len(g3) = 0 THEN 1 WHEN top3 > {QF_MAX_TOP3_SHARE} THEN 1
+    CASE WHEN len(g3) = 0 OR n > {QF_MAX_TOKENS} THEN 1
+         WHEN top3 > {QF_MAX_TOP3_SHARE} THEN 1
          ELSE 0 END AS fail_top3gram
   FROM m JOIN gg USING (doc_id))
 SELECT doc_id, n_tokens, fail_word_count, fail_mean_word_len, fail_stopword,

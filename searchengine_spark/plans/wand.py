@@ -95,6 +95,8 @@ driver-side work is only query analysis + the tiny per-term idf collect.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -155,6 +157,7 @@ def _phase1_kernel(
     prune: bool,
     kill: np.ndarray | None = None,
     live_bounds: bool = False,
+    sub_range: tuple[int, int] | None = None,
 ) -> pd.DataFrame:
     """One shard's block-max WAND pass (pure numpy/pandas; see module doc):
     block-UB pruning seeded with raw scores, exact raw scoring of surviving
@@ -168,18 +171,31 @@ def _phase1_kernel(
     with the BUILD-time avgdl) to partial(max_tf, min_dl) computed with the
     ``avgdl`` argument — required whenever the scoring avgdl differs from
     the baked one (a masked query), sound because partial is monotone in tf
-    and antitone in dl."""
+    and antitone in dl.
+
+    ``sub_range`` = inclusive (lo, hi) docno window of ONE sub-shard cell
+    (the phase-1 parallelism decoupling — see ``_candidates``): decoded
+    postings are masked to the window, so this task scores and emits only
+    the cell's docs. Exact under any doc partition: a doc's every posting
+    lands in the one cell containing its docno (the caller ships every
+    block OVERLAPPING the cell here), θ seeding/emission gates are
+    per-group heuristics whose soundness argument (module doc) never uses
+    "group == whole shard" — a cell's kth-largest lower bound is ≤ the
+    shard's, so emission only loosens, and the cross-shard θ-refinement
+    re-tightens globally."""
     if len(blocks_pdf) == 0:
         return pd.DataFrame(columns=["query_id", "shard", "docno", "raw", "lb", "ub"])
     blocks_pdf = blocks_pdf.reset_index(drop=True)
     shard = int(blocks_pdf["shard"].iloc[0])
     has_flags = "fls" in blocks_pdf.columns
     decode_cache: dict[int, tuple] = {}
-    # slice the global kill set to this shard's docno range once
+    # slice the global kill set to this task's docno range once
     kill_sh = None
     if kill is not None and kill.size:
         lo = int(blocks_pdf["min_docno"].min())
         hi = int(blocks_pdf["max_docno"].max())
+        if sub_range is not None:
+            lo, hi = max(lo, sub_range[0]), min(hi, sub_range[1])
         kill_sh = kill[np.searchsorted(kill, lo) : np.searchsorted(kill, hi, side="right")]
         if kill_sh.size == 0:
             kill_sh = None
@@ -193,7 +209,15 @@ def _phase1_kernel(
                 f = codec.varint_decode(r["fls"]).astype(np.int64)
                 if f.size == d.size:
                     fl = f
-            decode_cache[i] = (d.astype(np.int64), t, dl, fl)
+            d = d.astype(np.int64)
+            if sub_range is not None:
+                # mask to the cell: docnos ascend within a block, so the
+                # window is one contiguous slice
+                a = int(np.searchsorted(d, sub_range[0]))
+                z = int(np.searchsorted(d, sub_range[1], side="right"))
+                d, t, dl = d[a:z], t[a:z], dl[a:z]
+                fl = fl[a:z] if fl is not None else None
+            decode_cache[i] = (d, t, dl, fl)
         return decode_cache[i]
 
     # field-signature sidecar rows (functions/fieldsig.py): pseudo-term
@@ -532,10 +556,25 @@ class WandSearchEngine:
     postings in the (already pruned) query-term blocks — so a masked query
     is rank- and score-identical to a fresh build of the survivors."""
 
-    def __init__(self, spark: SparkSession, index, mask=None):
+    # phase-1 sub-splitting policy (auto mode): target this many kernel
+    # groups per available core — a couple of scheduling waves so the
+    # slowest group never sets the whole batch's wall — while keeping each
+    # cell at least SUB_SPLIT_MIN_DOCS docs wide so per-group fixed costs
+    # (Arrow batch, per-query python loop, duplicated boundary-block
+    # decodes) stay amortized. At production geometry (4M docs/shard,
+    # n_shards ≫ cores) auto resolves to 1 and the path is byte-identical
+    # to the ungrouped plan.
+    SUB_SPLIT_TASK_FACTOR = 4
+    SUB_SPLIT_MIN_DOCS = 4096
+
+    def __init__(self, spark: SparkSession, index, mask=None, sub_split: int | None = None):
         self.spark = spark
         self.index = index
         self.mask = mask
+        # phase-1 parallelism decoupling (see _candidates): split each
+        # shard's block set into this many contiguous docno sub-range
+        # cells, one kernel task each. None = auto policy (_sub_split).
+        self.sub_split = sub_split
         if mask is not None:
             if not getattr(index, "has_block_bounds", False):
                 raise ValueError(
@@ -683,20 +722,46 @@ class WandSearchEngine:
             | {t for _, _, a, _, _ in qinfo for t in a}
         )
 
+    def _sub_split(self) -> int:
+        """Resolve the phase-1 sub-split factor S (cells per shard).
+
+        Explicit ``sub_split`` wins; auto targets SUB_SPLIT_TASK_FACTOR
+        kernel groups per core, capped so a cell never shrinks below
+        SUB_SPLIT_MIN_DOCS docs. Any index whose shard count already
+        saturates the cores (the production shape: shards ≫ executors)
+        resolves to 1 — sub-splitting exists for the opposite regime,
+        a serving tier with more cores than index shards."""
+        if self.sub_split is not None:
+            return max(1, int(self.sub_split))
+        par = self.spark.sparkContext.defaultParallelism
+        want = math.ceil(
+            self.SUB_SPLIT_TASK_FACTOR * par / max(1, self.index.n_shards)
+        )
+        cap = max(1, self.index.shard_size // self.SUB_SPLIT_MIN_DOCS)
+        return max(1, min(want, cap))
+
     def _candidates(self, qinfo, term_list, top_k: int, prune: bool) -> DataFrame:
-        """Phase 1: per-shard block-max WAND over posting blocks only →
-        candidate (query_id, shard, docno, raw) rows (see module doc)."""
+        """Phase 1: block-max WAND over posting blocks only → candidate
+        (query_id, shard, docno, raw) rows (see module doc).
+
+        Kernel parallelism is DECOUPLED from n_shards (round-4 measured
+        ceiling: task count == n_shards caps query-side scaling at 0.49
+        whenever shards ≤ cores): with sub-split factor S > 1 each shard's
+        docno range is cut into S contiguous cells of width R, every block
+        row is shipped to every cell its [min_docno, max_docno] overlaps
+        (Catalyst ``explode(sequence(min div R, max div R))`` — no extra
+        pass, same single exchange), and the kernel masks decoded postings
+        to its cell. Per term the sorted non-overlapping blocks cross each
+        of the S−1 internal cuts at most once, so duplication is ≤
+        (n_query_terms+1)·(S−1) block rows per shard — boundary noise. The
+        θ tree-agg downstream is grouping-agnostic, so refinement
+        re-tightens the (per-cell, hence floor-S×) emission globally."""
         k = top_k
         # plain locals: the kernel closure must not capture self (it holds
         # the SparkSession, which cannot ship to workers)
         avgdl = self.avgdl
         kill = self.mask.killed if self.mask is not None else None
         live_bounds = self.mask is not None
-
-        def kernel(blocks_pdf: pd.DataFrame) -> pd.DataFrame:
-            return _phase1_kernel(
-                blocks_pdf, qinfo, avgdl, k, prune, kill, live_bounds
-            )
 
         # term IN-list prunes the blocks scan (row-group stats on term);
         # explicit column select prunes the positional streams (pcounts/
@@ -709,7 +774,41 @@ class WandSearchEngine:
         blocks = self.index.blocks.select(*_BLOCK_COLS).filter(
             F.col("term").isin(list(term_list) + [fieldsig.SIG_TERM])
         )
-        return blocks.groupby("shard").applyInPandas(kernel, _CAND_SCHEMA)
+        S = self._sub_split()
+        if S <= 1:
+
+            def kernel(blocks_pdf: pd.DataFrame) -> pd.DataFrame:
+                return _phase1_kernel(
+                    blocks_pdf, qinfo, avgdl, k, prune, kill, live_bounds
+                )
+
+            return blocks.groupby("shard").applyInPandas(kernel, _CAND_SCHEMA)
+
+        R = max(1, math.ceil(self.index.shard_size / S))
+
+        def cell_kernel(blocks_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(blocks_pdf) == 0:
+                return pd.DataFrame(
+                    columns=["query_id", "shard", "docno", "raw", "lb", "ub"]
+                )
+            sub = int(blocks_pdf["_sub"].iloc[0])
+            return _phase1_kernel(
+                blocks_pdf.drop(columns=["_sub"]),
+                qinfo, avgdl, k, prune, kill, live_bounds,
+                sub_range=(sub * R, (sub + 1) * R - 1),
+            )
+
+        cells = blocks.withColumn(
+            "_sub",
+            F.explode(
+                F.sequence(
+                    F.expr(f"min_docno div {R}"), F.expr(f"max_docno div {R}")
+                )
+            ),
+        )
+        return cells.groupby("shard", "_sub").applyInPandas(
+            cell_kernel, _CAND_SCHEMA
+        )
 
     @staticmethod
     def _refine(
@@ -911,7 +1010,11 @@ class WandSearchEngine:
         # row groups the candidates touch — exchange-free on docs in both
         # modes (asserted in tests/test_explain_plans).
         if docs_join == "auto":
-            ceiling = self.index.n_shards * max(top_k, 1) * len(qinfo)
+            # emission floor is per phase-1 GROUP (n_shards × sub-split
+            # cells), so the ceiling estimate scales with both
+            ceiling = (
+                self.index.n_shards * self._sub_split() * max(top_k, 1) * len(qinfo)
+            )
             docs_join = (
                 "direct"
                 if self.index.path is not None

@@ -324,3 +324,100 @@ def test_jaccard_verify_missing_element_row_fails_loudly(spark):
     )
     with pytest.raises(Exception, match="id universe|element-set"):
         jaccard_verify_pairs(pairs, elems).collect()
+
+
+def test_mode_count_sorted_run_equals_naive(spark):
+    """_mode_count_expr (round-4 verdict #1 rewrite): the sorted
+    longest-equal-run fold must return exactly the naive
+    max-multiplicity value — including NULL on the empty array — for
+    arbitrary token arrays."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(12)]
+    arrays = [[]] + [
+        [rng.choice(vocab) for _ in range(rng.randrange(1, 60))]
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(i, a) for i, a in enumerate(arrays)], "i int, arr array<string>"
+    )
+    from searchengine_spark.plans.entry_queries import _mode_count_expr
+
+    naive = F.expr(
+        "array_max(transform(array_distinct(arr),"
+        " x -> size(filter(arr, y -> y = x))))"
+    )
+    rows = df.select(
+        "i", _mode_count_expr("arr").alias("got"), naive.alias("want")
+    ).collect()
+    assert len(rows) == len(arrays)
+    for r in rows:
+        assert r["got"] == r["want"], (r["i"], r["got"], r["want"])
+
+
+def test_quality_filter_100k_distinct_doc_completes_fast(spark, tmp_path):
+    """Round-4 verdict #2 (the top-share quadratic): a near-cap page of
+    100k DISTINCT tokens was the straggler shape — O(distinct × grams)
+    ≈ 10^10 comparisons in one row (hours). The sorted-run rewrite is
+    O(n log n); the whole filter over the planted doc must finish in
+    seconds, not minutes."""
+    import time
+
+    import pandas as pd
+
+    from searchengine_spark.plans.entry_queries import (
+        QF_MAX_TOKENS,
+        q_quality_filter,
+    )
+
+    n = QF_MAX_TOKENS  # exactly at cap: top-share rules DO evaluate
+    huge = " ".join(f"tok{i}" for i in range(n))
+    pd.DataFrame({"doc_id": [1], "text": [huge]}).to_parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    t0 = time.time()
+    row = q_quality_filter(spark, str(tmp_path)).collect()[0]
+    wall = time.time() - t0
+    assert row["n_tokens"] == n
+    # all grams distinct → top-share rules evaluated and PASS
+    assert row["fail_top2gram"] == 0 and row["fail_top3gram"] == 0
+    assert row["fail_word_count"] == 0
+    assert wall < 120, f"quality filter took {wall:.1f}s on a 100k-token doc"
+
+
+def test_quality_filter_over_cap_doc_skips_top_share_on_both_engines(
+    spark, tmp_path
+):
+    """Docs past QF_MAX_TOKENS are dropped by fail_word_count regardless,
+    so the (expensive) top-share rules are not evaluated — both flags
+    read 1 (rule-not-evaluated ≡ failed, the zero-token convention) on
+    BOTH engines."""
+    import duckdb
+    import pandas as pd
+
+    from searchengine_spark.plans.entry_queries import (
+        QF_MAX_TOKENS,
+        SQL_QUALITY_FILTER,
+        q_quality_filter,
+    )
+
+    over = "spam word " * (QF_MAX_TOKENS // 2 + 10)  # repetitive: cheap twin
+    pd.DataFrame({"doc_id": [1], "text": [over]}).to_parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = q_quality_filter(spark, str(tmp_path)).collect()[0].asDict()
+    assert got["n_tokens"] > QF_MAX_TOKENS
+    assert got["fail_word_count"] == 1
+    assert got["fail_top2gram"] == 1 and got["fail_top3gram"] == 1
+    assert got["is_kept"] == 0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    cols = [d[0] for d in con.execute(SQL_QUALITY_FILTER).description]
+    oracle = dict(zip(cols, con.execute(SQL_QUALITY_FILTER).fetchall()[0]))
+    assert got == oracle, (got, oracle)

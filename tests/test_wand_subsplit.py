@@ -1,0 +1,159 @@
+"""Phase-1 sub-range splitting (plans/wand.py:_candidates): decoupling WAND
+kernel parallelism from n_shards.
+
+Round-4 measured ceiling (BASELINE.md §query-side scaling): phase-1 task
+count == n_shards caps query-side scaling at 0.49 whenever shards ≤ cores.
+The fix cuts each shard's docno range into S contiguous cells, ships every
+block overlapping a cell to that cell's task, and masks decoded postings to
+the cell — so parallelism is n_shards × S while every doc's full posting
+set still lands in exactly one task (exactness precondition for raw BM25).
+
+Properties pinned here:
+
+* rank/score identity vs the exhaustive Catalyst engine at S = 3 and at the
+  degenerate S ≫ shard_size (R = 1: one cell per docno) — the adversarial
+  extreme where every rare-term block is shipped to every cell it spans;
+* pruned ≡ unpruned under sub-splitting (θ seeding is per-cell);
+* tombstone-masked queries stay identical under sub-splitting;
+* θ-refined candidate volume stays flat in S (per-cell emission floors
+  multiply raw volume by ~S; refinement must collapse it back — same
+  argument as the shard-count-independence test);
+* the auto policy: production shape (shards ≫ cores) resolves to S = 1
+  (byte-identical legacy plan), serving shape (few fat shards, many cores)
+  resolves to the task-factor target, and the min-cell-docs cap binds.
+
+Reference semantics anchor: SearchIndexer.search (indexer.py:280-342) —
+exact top-k must be preserved under any physical parallelism.
+"""
+
+import dataclasses
+import math
+
+import pytest
+
+from searchengine_spark.operators import shards, tombstones
+from searchengine_spark.plans.bm25 import BM25SearchEngine
+from searchengine_spark.plans.wand import WandSearchEngine
+from searchengine_spark.sources import webgen
+
+N_DOCS = 400
+N_SHARDS = 8  # shard_size = 50: S=3 → ~17-doc cells, plenty of boundaries
+TOP_K = 5
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("subsplit_idx"))
+    pages = spark.createDataFrame(webgen.generate_pandas(N_DOCS))
+    return shards.build_and_write_sharded(
+        spark, pages, path, n_shards=N_SHARDS, block_size=16
+    )
+
+
+@pytest.fixture(scope="module")
+def logical(spark, index):
+    return shards.export_index(spark, index)
+
+
+def _results(df):
+    return [
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in df.select("query_id", "rank", "doc_id", "score")
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+
+
+@pytest.mark.parametrize("sub_split", [3, 1000])
+def test_sub_split_matches_exhaustive(spark, index, logical, sub_split):
+    """S=3 cuts every shard into thirds; S=1000 → R=1, one cell per docno —
+    every block is replicated to every docno it spans, the most hostile
+    masking geometry possible. Both must be rank- AND score-identical to
+    the exhaustive engine."""
+    queries = webgen.reference_queries()[:8]
+    want = _results(
+        BM25SearchEngine(spark, logical).search_batch(queries, top_k=TOP_K)
+    )
+    got = _results(
+        WandSearchEngine(spark, index, sub_split=sub_split).search_batch(
+            queries, top_k=TOP_K
+        )
+    )
+    assert [(q, rk, d) for q, rk, d, _ in want] == [
+        (q, rk, d) for q, rk, d, _ in got
+    ]
+    for (_, _, _, s1), (_, _, _, s2) in zip(want, got):
+        assert math.isclose(s1, s2, rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_sub_split_pruned_equals_unpruned(spark, index):
+    queries = webgen.reference_queries()[:5]
+    eng = WandSearchEngine(spark, index, sub_split=4)
+    pruned = _results(eng.search_batch(queries, top_k=TOP_K, prune=True))
+    unpruned = _results(eng.search_batch(queries, top_k=TOP_K, prune=False))
+    assert pruned == unpruned
+
+
+def test_sub_split_with_tombstone_mask(spark, index):
+    """Masked queries under sub-splitting: the kill set is sliced to the
+    cell's (not the shard's) docno window, and masked results must equal
+    the un-split masked engine exactly."""
+    kill = index.docs.limit(25).select("doc_id")
+    mask = tombstones.build_mask(spark, index, kill)
+    queries = webgen.reference_queries()[:5]
+    want = _results(
+        WandSearchEngine(spark, index, mask=mask).search_batch(
+            queries, top_k=TOP_K
+        )
+    )
+    got = _results(
+        WandSearchEngine(spark, index, mask=mask, sub_split=3).search_batch(
+            queries, top_k=TOP_K
+        )
+    )
+    assert want == got
+
+
+def test_refined_volume_is_sub_split_independent(spark, index):
+    """Per-cell emission floors multiply raw phase-1 volume by ~S; the
+    θ-refinement must collapse it back to the per-query global boost-margin
+    set — the same property the shard-count-independence test pins."""
+    from searchengine_spark.config import DEFAULT_STOPWORDS
+
+    queries = webgen.reference_queries()[:4]
+
+    def volumes(sub_split):
+        eng = WandSearchEngine(spark, index, sub_split=sub_split)
+        qinfo, term_list = eng._analyze(queries, DEFAULT_STOPWORDS)
+        raw = eng._candidates(qinfo, term_list, TOP_K, prune=True)
+        return raw.count(), eng._refine(raw, TOP_K).count(), len(qinfo)
+
+    pre1, post1, n_q = volumes(1)
+    pre6, post6, _ = volumes(6)
+    assert pre6 >= pre1, (pre1, pre6)  # per-cell floors raise raw emission
+    # …but refinement is global: volume stays flat (small slack — per-cell
+    # θ seeds and emission filters differ slightly between groupings)
+    assert post6 <= post1 * 1.2 + 2 * n_q, (post1, post6)
+    assert post6 >= min(TOP_K, 1) * n_q
+
+
+def test_auto_policy(spark, index):
+    par = spark.sparkContext.defaultParallelism
+
+    # production shape: shards ≫ cores → S = 1 (legacy plan, no explode)
+    prod = dataclasses.replace(index, n_shards=64 * par, shard_size=4_000_000)
+    assert WandSearchEngine(spark, prod)._sub_split() == 1
+
+    # serving shape: one fat shard, many cores → task-factor target
+    fat = dataclasses.replace(index, n_shards=1, shard_size=100_000_000)
+    assert (
+        WandSearchEngine(spark, fat)._sub_split()
+        == WandSearchEngine.SUB_SPLIT_TASK_FACTOR * par
+    )
+
+    # min-cell-docs cap binds on small shards (this test index: 50-doc
+    # shards can never be worth splitting in auto mode)
+    assert WandSearchEngine(spark, index)._sub_split() == 1
+
+    # explicit override always wins
+    assert WandSearchEngine(spark, index, sub_split=7)._sub_split() == 7
