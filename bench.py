@@ -173,7 +173,7 @@ def run_bench(cpus: int = CPUS, n_docs: int = N_DOCS, sf_dir: str = SF_DIR) -> d
         "docs_per_sec": docs_per_sec,
         "query_batch_results": n_results,
         "wand_ms_per_query_at_210": round(
-            1000 * queries["query_batch_210_wand"] / 210, 1
+            1000 * queries["query_batch_210_wand"] / len(big), 1
         ),
     }
 
@@ -275,7 +275,7 @@ def _run_query_arm(cpus: int, index_path: str) -> dict:
         "unit": "sec",
         "cpus": cpus,
         "rows": n,
-        "queries_per_sec": round(210 / dt, 2),
+        "queries_per_sec": round(len(big) / dt, 2),
     }
 
 
@@ -310,9 +310,21 @@ def run_query_scaling(n_docs: int = SCALING_DOCS) -> dict:
                 [sys.executable, os.path.abspath(__file__)],
                 capture_output=True, text=True, env=env, cwd=REPO,
             )
-            line = [
+            if proc.returncode != 0:
+                raise RuntimeError(
+                    f"query-scaling arm local[{cpus}] exited "
+                    f"{proc.returncode}; stderr tail:\n"
+                    + proc.stderr[-2000:]
+                )
+            json_lines = [
                 l for l in proc.stdout.strip().splitlines() if l.startswith("{")
-            ][-1]
+            ]
+            if not json_lines:
+                raise RuntimeError(
+                    f"query-scaling arm local[{cpus}] produced no JSON line; "
+                    f"stderr tail:\n" + proc.stderr[-2000:]
+                )
+            line = json_lines[-1]
             res = json.loads(line)
             if (
                 cpus not in best

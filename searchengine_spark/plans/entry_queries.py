@@ -835,11 +835,19 @@ SQL_MINHASH_JACCARD_VERIFIED = f"""WITH {_TERMS_CTE},
 cand AS (SELECT * FROM ({{SQL_MINHASH_LSH_PAIRS}})),
 tsets AS (SELECT doc_id, list_distinct(list(term)) AS ts FROM terms GROUP BY doc_id),
 scored AS (
+  -- LEFT JOIN + error() on NULL mirrors jaccard_verify_pairs' fail-loud
+  -- contract: a candidate pair whose element set is missing must abort
+  -- the query on BOTH engines, never be silently dropped (an inner join
+  -- here would hide such rows and the two oracles would disagree)
   SELECT c.doc_a, c.doc_b, c.n_bands,
-         CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) AS i,
-         CAST(len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) AS u
-  FROM cand c JOIN tsets ta ON c.doc_a = ta.doc_id
-              JOIN tsets tb ON c.doc_b = tb.doc_id)
+         CASE WHEN ta.ts IS NULL OR tb.ts IS NULL
+              THEN CAST(error('jaccard twin: candidate pair has no element-set row') AS DOUBLE)
+              ELSE CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) END AS i,
+         CASE WHEN ta.ts IS NULL OR tb.ts IS NULL
+              THEN CAST(error('jaccard twin: candidate pair has no element-set row') AS DOUBLE)
+              ELSE CAST(len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) END AS u
+  FROM cand c LEFT JOIN tsets ta ON c.doc_a = ta.doc_id
+              LEFT JOIN tsets tb ON c.doc_b = tb.doc_id)
 SELECT doc_a, doc_b, n_bands,
        ROUND(CASE WHEN u > 0 THEN i / u ELSE 0 END, 6) AS jaccard,
        CAST(CASE WHEN u > 0 THEN i / u ELSE 0 END >= {JACCARD_DUP_THRESHOLD}

@@ -116,7 +116,14 @@ def _session_fn_factory(gap_sec: int, use_timeout: bool):
                     out.append(row(sn, ts, tl, n, sv))
                     sn, ts, tl, n, sv = sn + 1, t, t, 1, float(v)
                 else:
-                    tl, n, sv = t, n + 1, sv + float(v)
+                    # A late event inside the open session (possible across
+                    # micro-batches: watermarks gate timeouts but do not drop
+                    # late rows before applyInPandasWithState) must not
+                    # rewind t_last — keep t_end monotone so the next
+                    # on-time event's gap is measured against the true
+                    # latest event time.  The late-event caveat in the
+                    # module docstring then covers attribution only.
+                    tl, n, sv = max(tl, t), n + 1, sv + float(v)
         if sn is not None:
             deadline_ms = (tl + gap_sec) * 1000
             if use_timeout and deadline_ms <= state.getCurrentWatermarkMs():

@@ -244,6 +244,36 @@ def test_hourly_rollup_stream_matches_batch_closed_windows(spark, tmp_path):
     assert set(closed) <= set(got), (sorted(closed), sorted(got))
 
 
+def test_late_event_does_not_rewind_t_end(spark, tmp_path):
+    """A late event that lands INSIDE an open session (possible across
+    micro-batches: watermarks gate timeouts but do not drop late rows
+    before applyInPandasWithState) must not rewind t_last. Regression:
+    t_last was unconditionally set to the late event's time, so the next
+    on-time event's gap was measured against the rewound value and the
+    session falsely split; now t_end stays monotone and the stream output
+    matches the batch twin exactly."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # open session: events at +0 and +100 (t_last = +100)
+    _write_file(str(in_dir / "f0.parquet"), [(1, 9, BASE + 0, 1.0),
+                                             (2, 9, BASE + 100, 2.0)])
+    # LATE event at +50 — inside the open session, before its t_last
+    _write_file(str(in_dir / "f1.parquet"), [(3, 9, BASE + 50, 4.0)])
+    # on-time event exactly GAP after the TRUE t_last (+100): must extend.
+    # Against a rewound t_last (+50) the measured gap would be GAP+50 and
+    # the session would falsely split.
+    _write_file(str(in_dir / "f2.parquet"), [(4, 9, BASE + 100 + GAP, 8.0)])
+    # far-future event opens session 2, closing session 1 for emission
+    _write_file(str(in_dir / "f3.parquet"),
+                [(5, 9, BASE + 100 + GAP * 3, 0.5)])
+    got = _run(spark, str(in_dir), str(tmp_path / "w"), watermark_delay=None)
+    rows = [(1, 9, BASE + 0, 1.0), (2, 9, BASE + 100, 2.0),
+            (3, 9, BASE + 50, 4.0), (4, 9, BASE + 100 + GAP, 8.0),
+            (5, 9, BASE + 100 + GAP * 3, 0.5)]
+    batch = _batch_sessions(rows)
+    assert got == {(9, 1): batch[(9, 1)]}, (got, batch)
+
+
 def test_hot_user_state_stays_o1_and_output_exact(spark, tmp_path):
     """A single user emitting thousands of events across many sessions
     must not grow state (one fixed-width row) and must sessionize
