@@ -30,6 +30,8 @@ SQL-oracle-checkable.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -344,10 +346,10 @@ def pq_reconstruct_expr(
     codes: Column, codebooks: list[list[list[float]]]
 ) -> Column:
     """The PQ-reconstructed vector: concat of each subspace's chosen
-    centroid. Scoring against the reconstruction IS asymmetric distance
-    computation (ADC) — dot(q, recon) = Σ_m dot(q_m, centroid_m) — spelled
-    as one Catalyst expression so the whole approximate scan stays inside
-    whole-stage codegen."""
+    centroid. Kept public for decode/debug paths; the SCORING path no
+    longer touches it — :func:`_pq_query_tables` precomputes the classical
+    per-query ADC distance table instead (d/M× less work per scanned
+    row)."""
     parts = []
     for m, cb in enumerate(codebooks):
         cb_lit = F.array(
@@ -355,6 +357,54 @@ def pq_reconstruct_expr(
         )
         parts.append(F.element_at(cb_lit, F.element_at(codes, m + 1) + 1))
     return F.concat(*parts)
+
+
+def _pq_query_tables(
+    q: DataFrame, codebooks: list[list[list[float]]]
+) -> DataFrame:
+    """Decorate a 1-row query frame ('qv') with the classical ADC
+    per-query distance table (Jégou TPAMI 2011 §IV.A): ``dot_tab[m][c]`` =
+    dot(q_m, centroid_{m,c}) for every subspace m and code c, plus the
+    query norm. Computed ONCE on the broadcast build side (BroadcastExchange
+    materializes the child projection before shipping), so each scanned
+    candidate row pays M ``element_at`` lookups instead of a d-dim
+    reconstruction dot — d/M× less work per row (48× at the production
+    geometry M=8, d=384)."""
+    offset = 0
+    sub_tabs = []
+    for cb in codebooks:
+        dsub = len(cb[0])
+        sub = F.slice(F.col("qv"), offset + 1, dsub)
+        sub_tabs.append(
+            F.array(
+                *[
+                    dot_expr(sub, F.array(*[F.lit(float(x)) for x in cent]))
+                    for cent in cb
+                ]
+            )
+        )
+        offset += dsub
+    return q.withColumns(
+        {
+            "dot_tab": F.array(*sub_tabs),
+            "q_norm": F.sqrt(dot_expr(F.col("qv"), F.col("qv"))),
+        }
+    )
+
+
+def _pq_norm2_table(codebooks: list[list[list[float]]]) -> Column:
+    """Literal M×K table of centroid squared norms. Query-independent —
+    a pure codebook constant — so the PQ-reconstruction norm in the ADC
+    denominator is M lookups too: subspaces are disjoint slices, hence
+    ‖recon‖² = Σ_m ‖centroid_{m,codes[m]}‖²."""
+    return F.array(
+        *[
+            F.array(
+                *[F.lit(float(sum(x * x for x in cent))) for cent in cb]
+            )
+            for cb in codebooks
+        ]
+    )
 
 
 def pq_topk(
@@ -382,9 +432,14 @@ def pq_topk(
         coded = assign_pq_codes(df, codebooks, id_col=id_col, vec_col=vec_col)
     if exclude_query_id is not None:
         coded = coded.filter(F.col(id_col) != exclude_query_id)
-    q = _query_frame(
-        df.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col)),
-        query, id_col, vec_col,
+    q = _pq_query_tables(
+        _query_frame(
+            df.select(
+                id_col, F.col(vec_col).cast("array<double>").alias(vec_col)
+            ),
+            query, id_col, vec_col,
+        ),
+        codebooks,
     )
     return _pq_score_and_rerank(
         coded.crossJoin(F.broadcast(q)), codebooks, k, rerank, id_col
@@ -398,15 +453,36 @@ def _pq_score_and_rerank(
     rerank: int | None,
     id_col: str,
 ) -> DataFrame:
-    """Shared PQ scoring tail: ADC score vs the reconstruction, then either
-    top-k directly or exact-cosine re-rank of the top-``rerank`` shortlist.
-    ``cand`` must carry (id_col, v, codes, qv)."""
-    recon = pq_reconstruct_expr(F.col("codes"), codebooks)
+    """Shared PQ scoring tail: classical table-lookup ADC — sim numerator
+    Σ_m dot_tab[m][codes[m]] and denominator √(Σ_m ‖centroid‖²)·‖q‖, i.e.
+    M+M ``element_at`` lookups per scanned row, never a d-dim dot — then
+    either top-k directly or exact-cosine re-rank of the top-``rerank``
+    shortlist. ``cand`` must carry (id_col, v, codes, qv, dot_tab, q_norm)
+    (the latter two from :func:`_pq_query_tables`)."""
+    code_at = lambda m: F.element_at(F.col("codes"), m + 1) + 1  # noqa: E731
+    num = reduce(
+        lambda a, b: a + b,
+        [
+            F.element_at(F.element_at(F.col("dot_tab"), m + 1), code_at(m))
+            for m in range(len(codebooks))
+        ],
+    )
+    norm2_tab = _pq_norm2_table(codebooks)
+    recon_norm = F.sqrt(
+        reduce(
+            lambda a, b: a + b,
+            [
+                F.element_at(F.element_at(norm2_tab, m + 1), code_at(m))
+                for m in range(len(codebooks))
+            ],
+        )
+    )
+    denom = recon_norm * F.col("q_norm")
     scored = cand.select(
         id_col,
         F.col("v"),
         F.col("qv"),
-        cosine_expr(recon, F.col("qv")).alias("sim"),
+        F.when(denom != 0, num / denom).alias("sim"),
     )
     if rerank is None:
         return scored.select(id_col, "sim").orderBy(
@@ -452,16 +528,24 @@ def ivfpq_topk(
     coded = assign_pq_codes(
         assigned, codebooks, id_col=id_col, vec_col="v", keep=("cell",)
     )
-    q = _query_frame(
-        df.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col)),
-        query, id_col, vec_col,
+    q = _pq_query_tables(
+        _query_frame(
+            df.select(
+                id_col, F.col(vec_col).cast("array<double>").alias(vec_col)
+            ),
+            query, id_col, vec_col,
+        ),
+        codebooks,
     )
     qcells = (
         q.crossJoin(F.broadcast(centroids))
-        .select("qv", "cid", l2sq_expr(F.col("qv"), F.col("cv")).alias("d"))
+        .select(
+            "qv", "dot_tab", "q_norm", "cid",
+            l2sq_expr(F.col("qv"), F.col("cv")).alias("d"),
+        )
         .orderBy("d", "cid")
         .limit(n_probe)
-        .select("qv", F.col("cid").alias("cell"))
+        .select("qv", "dot_tab", "q_norm", F.col("cid").alias("cell"))
     )
     cand = coded.join(F.broadcast(qcells), "cell")
     if exclude_query_id is not None:
