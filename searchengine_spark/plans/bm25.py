@@ -91,6 +91,54 @@ def paginate(results: list, page: int = 1, per_page: int = 10) -> dict:
     }
 
 
+def attach_result_metadata(
+    topk: DataFrame,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    stopwords=DEFAULT_STOPWORDS,
+    exclude_domains: bool = False,
+) -> DataFrame:
+    """Metadata + query-relevant-snippet tail shared by every ranked result
+    surface (indexer.py:344-374): join the (tiny, ≤ k·|batch|-row) ``topk``
+    frame carrying (query_id, rank, doc_id, score) back to the docs
+    dimension, window the snippet around the first query-term hit (Arrow
+    UDF over the k result rows only — never the corpus), optionally apply
+    the F11 domain filter (app.py:136-154) after selection. Used by the
+    exhaustive BM25 engine and the hybrid combine's serving path — one
+    contract, one implementation."""
+    orig_tokens_by_qid = {
+        qid: (analyze_query(text, stopwords) or (None, [], None))[1]
+        for qid, text in queries
+    }
+
+    @F.pandas_udf("string")
+    def snippet_udf(qid: pd.Series, content: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                textproc.relevant_snippet(c or "", orig_tokens_by_qid.get(int(q), []))
+                for q, c in zip(qid, content)
+            ]
+        )
+
+    out = topk.join(docs, "doc_id")
+    if exclude_domains:
+        from searchengine_spark.plans.classify import excluded_domain_col
+
+        out = out.filter(~excluded_domain_col(F.col("url")))
+    return out.select(
+        "query_id",
+        "rank",
+        "doc_id",
+        "url",
+        "title",
+        "description",
+        snippet_udf(F.col("query_id"), F.col("content_snippet")).alias(
+            "content_snippet"
+        ),
+        "score",
+    ).orderBy("query_id", "rank")
+
+
 def boost_chain_expr() -> Column:
     """The reference's multiplicative boost chain (indexer.py:405-441) as a
     single Catalyst expression over a frame carrying ``score``, the doc
@@ -276,39 +324,9 @@ class BM25SearchEngine:
         )
         if not with_metadata:
             return topk.select("query_id", "rank", "doc_id", "score")
-
-        # snippet windowing (indexer.py:344-374) on the k result rows only
-        orig_tokens_by_qid = {
-            qid: (analyze_query(text, stopwords) or (None, [], None))[1]
-            for qid, text in queries
-        }
-
-        @F.pandas_udf("string")
-        def snippet_udf(qid: pd.Series, content: pd.Series) -> pd.Series:
-            return pd.Series(
-                [
-                    textproc.relevant_snippet(c or "", orig_tokens_by_qid.get(int(q), []))
-                    for q, c in zip(qid, content)
-                ]
-            )
-
-        out = topk.join(self._docs, "doc_id")
-        if exclude_domains:
-            from searchengine_spark.plans.classify import excluded_domain_col
-
-            out = out.filter(~excluded_domain_col(F.col("url")))
-        return out.select(
-            "query_id",
-            "rank",
-            "doc_id",
-            "url",
-            "title",
-            "description",
-            snippet_udf(F.col("query_id"), F.col("content_snippet")).alias(
-                "content_snippet"
-            ),
-            "score",
-        ).orderBy("query_id", "rank")
+        return attach_result_metadata(
+            topk, self._docs, queries, stopwords, exclude_domains
+        )
 
     def search(self, query: str, top_k: int = 20, stopwords=DEFAULT_STOPWORDS) -> DataFrame | None:
         """Single query = batch of one (same plan, same semantics)."""

@@ -182,8 +182,15 @@ class HybridSearchEngine:
         queries: list[tuple[int, str]],
         top_k: int = 10,
         stopwords=DEFAULT_STOPWORDS,
+        with_metadata: bool = False,
     ) -> DataFrame | None:
-        """Q10: intersection-weighted combine, reference order + weights."""
+        """Q10: intersection-weighted combine, reference order + weights.
+
+        ``with_metadata=True`` attaches the same url/title/description/
+        query-relevant-snippet columns the ranked engines return (shared
+        :func:`~searchengine_spark.plans.bm25.attach_result_metadata` tail
+        over the ≤ k·|batch| combined rows), so the serving layer can put
+        hybrid behind the identical JSON contract (app.py:104-194)."""
         bm25 = self.bm25.search_batch(
             queries, top_k=2 * top_k, stopwords=stopwords, with_metadata=False
         )
@@ -203,8 +210,18 @@ class HybridSearchEngine:
             )
         )
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-        return (
+        out = (
             combined.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= top_k)
             .orderBy("query_id", "rank")
+        )
+        if not with_metadata:
+            return out
+        from searchengine_spark.plans.bm25 import attach_result_metadata
+
+        return attach_result_metadata(
+            out.select("query_id", "rank", "doc_id", "score"),
+            self.bm25._docs,
+            queries,
+            stopwords,
         )

@@ -54,6 +54,14 @@ class PhraseModeUnavailable(ValueError):
     sharded index — a client error (400), not a server fault."""
 
 
+class HybridModeUnavailable(ValueError):
+    """mode=hybrid requested against a service with no embedding store —
+    the analog of the reference's BM25-only fallback trigger
+    (optimized_indexer.py:186-203: embedding index unavailable). Served as
+    a client error (400) rather than a silent fallback so the caller
+    KNOWS the ranking mode it asked for is not what it would get."""
+
+
 class _MicroBatcher:
     """Micro-batching front for concurrent serving: requests arriving
     within ``window_ms`` of each other dispatch as ONE ``search_batch``
@@ -172,10 +180,14 @@ class SearchService:
         engine,
         search_mode: str = "bm25",
         batch_window_ms: float = 0.0,
+        hybrid=None,
     ):
         self.spark = spark
         self.engine = engine
         self.search_mode = search_mode
+        # optional plans.hybrid.HybridSearchEngine for ?mode=hybrid
+        # (Q10, optimized_indexer.py:119-203); None → 400 on that arm
+        self.hybrid = hybrid
         self.batcher = (
             _MicroBatcher(engine, batch_window_ms) if batch_window_ms > 0 else None
         )
@@ -200,7 +212,7 @@ class SearchService:
         page_data = paginate(rows, page=page, per_page=per_page)
         page_data["query"] = query
         page_data["search_source"] = (
-            "phrase" if mode == "phrase" else self.search_mode
+            mode if mode in ("phrase", "hybrid") else self.search_mode
         )
         return page_data
 
@@ -216,6 +228,8 @@ class SearchService:
     def _dispatch(self, query: str, top_k: int, mode: str) -> list[dict]:
         if mode == "phrase":
             return self._ranked_phrase(query, top_k=top_k)
+        if mode == "hybrid":
+            return self._ranked_hybrid(query, top_k=top_k)
         return self._ranked(query, top_k=top_k)
 
     # -- app.py:246-275 ------------------------------------------------
@@ -235,6 +249,22 @@ class SearchService:
             res = self.engine.search_batch([(0, query)], top_k=top_k)
             rows = [] if res is None else res.orderBy("rank").collect()
         return self._rows_to_results(rows, source=self.search_mode)
+
+    def _ranked_hybrid(self, query: str, top_k: int) -> list[dict]:
+        """Hybrid BM25+embedding arm (plans/hybrid.py, Q10) behind the same
+        JSON contract: 0.7·bm25_norm + 0.3·sim over the candidate
+        intersection, metadata via the shared attach_result_metadata tail,
+        F11 domain filter applied like every other arm. Requires the
+        service to have been constructed with a hybrid engine (an
+        embedding store) — otherwise a client error, mirroring the
+        reference's embedding-index-unavailable condition."""
+        if self.hybrid is None:
+            raise HybridModeUnavailable("no embedding store on this service")
+        res = self.hybrid.search_batch(
+            [(0, query)], top_k=top_k, with_metadata=True
+        )
+        rows = [] if res is None else res.orderBy("rank").collect()
+        return self._rows_to_results(rows, source="hybrid")
 
     def _ranked_phrase(self, query: str, top_k: int) -> list[dict]:
         """Positional phrase arm (plans/phrase.py) behind the same JSON
@@ -306,7 +336,7 @@ def make_handler(service: SearchService):
             # unknown modes fall back to ranked (clamp-style defensive
             # parsing, same policy as the numeric params)
             mode = qs.get("mode", ["ranked"])[0]
-            if mode not in ("ranked", "phrase"):
+            if mode not in ("ranked", "phrase", "hybrid"):
                 mode = "ranked"
             try:
                 if parsed.path in ("/health", "/api/health"):
@@ -328,6 +358,11 @@ def make_handler(service: SearchService):
                 # client error; generic message, no internals echoed
                 self._json(
                     {"error": "phrase mode unavailable on this index"},
+                    status=400,
+                )
+            except HybridModeUnavailable:
+                self._json(
+                    {"error": "hybrid mode unavailable on this service"},
                     status=400,
                 )
             except Exception:  # app.py returns 500 + error payload
