@@ -421,3 +421,79 @@ def test_quality_filter_over_cap_doc_skips_top_share_on_both_engines(
     cols = [d[0] for d in con.execute(SQL_QUALITY_FILTER).description]
     oracle = dict(zip(cols, con.execute(SQL_QUALITY_FILTER).fetchall()[0]))
     assert got == oracle, (got, oracle)
+
+
+# ---------------------------------------------------------- chunked sessionize
+def _fold_sessions(rows, gap):
+    """Reference sessionizer: plain-python fold in (t, event_id) order —
+    the classic one-window formulation the DuckDB twin spells."""
+    out = {}
+    by_user = {}
+    for eid, user, t, v in sorted(rows, key=lambda r: (r[1], r[2], r[0])):
+        sessions = by_user.setdefault(user, [])
+        if not sessions or t - sessions[-1]["t_last"] > gap:
+            sessions.append({"no": len(sessions) + 1, "t_first": t,
+                             "t_last": t, "n": 0, "sv": 0.0})
+        s = sessions[-1]
+        s["t_last"] = t
+        s["n"] += 1
+        s["sv"] += v
+    for user, sessions in by_user.items():
+        for s in sessions:
+            out[(user, s["no"])] = (s["n"], s["t_first"], s["t_last"],
+                                    round(s["sv"], 4))
+    return out
+
+
+def test_sessionize_chunked_equals_fold_on_adversarial_layout(spark):
+    """Round-4 verdict #5: the chunked two-pass sessionize must be value-
+    identical to the bare-user-window formulation, including every boundary
+    shape: a session spanning a chunk boundary, a gap exactly == GAP at the
+    boundary, empty chunks between events, tie timestamps at the boundary,
+    and a hot user with many sessions across many chunks."""
+    from searchengine_spark.plans.entry_queries import (
+        SESSION_CHUNK_SEC, SESSION_GAP_SEC, sessionize_events)
+
+    C, G = SESSION_CHUNK_SEC, SESSION_GAP_SEC
+    rows = []
+    # u1: session spanning a chunk boundary (gap < G across the hour mark)
+    rows += [("e01", "u1", 10 * C - 60, 1.0), ("e02", "u1", 10 * C + 60, 1.0)]
+    # u1: boundary gap exactly == G (continues: rule is > G breaks)
+    rows += [("e03", "u1", 11 * C - 10, 1.0), ("e04", "u1", 11 * C - 10 + G, 1.0)]
+    # u1: boundary gap == G+1 (breaks)
+    rows += [("e05", "u1", 13 * C - 5, 1.0), ("e06", "u1", 13 * C - 5 + G + 1, 1.0)]
+    # u2: empty chunks between events (auto-break via chunk_sec >= gap)
+    rows += [("e07", "u2", 5 * C + 100, 2.0), ("e08", "u2", 9 * C + 100, 2.0)]
+    # u2: tie timestamps straddling nothing — event_id breaks the tie
+    rows += [("e09", "u2", 20 * C, 0.5), ("e10", "u2", 20 * C, 0.25)]
+    # u3 hot user: 300 events, alternating 1s and G+1 gaps across chunks
+    t = 1000
+    for i in range(300):
+        t += 1 if i % 3 else G + 1
+        rows.append((f"h{i:03d}", "u3", t, 0.1))
+    df = spark.createDataFrame(
+        rows, "event_id string, user_id string, t long, value double")
+    got = {
+        (r["user_id"], r["session_no"]):
+            (r["n_events"], r["t_start"], r["t_end"], r["sum_value"])
+        for r in sessionize_events(df).collect()
+    }
+    assert got == _fold_sessions(rows, G)
+
+
+def test_sessionize_plan_has_no_bare_user_window(spark):
+    """The per-event window must be keyed (user_id, chunk) — grep the
+    optimized plan for a Window whose partition spec is user_id alone
+    (events-wide windows over chunk-summary ROWS are fine; this guards the
+    per-EVENT exchange)."""
+    from searchengine_spark.plans.entry_queries import sessionize_events
+
+    df = spark.createDataFrame(
+        [("e1", "u1", 100, 1.0)],
+        "event_id string, user_id string, t long, value double")
+    plan = sessionize_events(df)._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition(user_id" in line and "chunk" not in line:
+            # the only user-alone windows allowed are over the chunk
+            # summary (inputs carry n_local/t_first/t_last, never event_id)
+            assert "t_last" in line or "n_local" in line, line
