@@ -41,6 +41,8 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from searchengine_spark.operators import gates
+
 DEFAULT_MAX_MASK = 5_000_000
 
 
@@ -87,24 +89,13 @@ def build_mask(
     # The cap applies to MATCHED tombstones (ids actually present in the
     # index) — a replayed kill log full of already-compacted ids must not
     # trip it (round-3 ADVICE). Driver safety without pre-counting matches:
-    # the raw distinct count only chooses the JOIN STRATEGY (an oversized
-    # raw frame must not broadcast — it semi-joins keyed instead), and the
-    # collect itself is bounded by limit(cap + 1), so the driver never
-    # holds more than cap+1 narrow (docno, doc_len) rows no matter how
-    # large either side is; the cap check runs on the collected length.
-    raw_oversized = (
-        tomb_ids.limit(max_tombstones + 1).count() > max_tombstones
-    )
-    # An oversized raw frame must not reach the driver as a build side:
-    # withholding the broadcast hint alone is not enough (Catalyst can
-    # still auto-broadcast a frame whose sizeInBytes it underestimates),
-    # so pin the keyed strategy explicitly — same reason
-    # decontaminate_against pins shuffle_hash on its oversized arm.
-    probe = (
-        tomb_ids.hint("shuffle_hash")
-        if raw_oversized
-        else F.broadcast(tomb_ids)
-    )
+    # the gate's bounded raw count only chooses the JOIN STRATEGY
+    # (operators/gates.py — broadcast under the cap, pinned shuffle_hash
+    # past it), and the collect itself is bounded by limit(cap + 1), so
+    # the driver never holds more than cap+1 narrow (docno, doc_len) rows
+    # no matter how large either side is; the cap check runs on the
+    # collected length.
+    probe, _ = gates.gated_build_side(tomb_ids, max_tombstones)
     rows = (
         index.docs.join(probe, "doc_id")
         .select("docno", "doc_len")

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from searchengine_spark.config import DEFAULT_STOPWORDS, K1, B
+from searchengine_spark.operators import gates
 
 STOP = sorted(DEFAULT_STOPWORDS)
 _STOP_IN = "(" + ", ".join(f"'{s}'" for s in STOP) + ")"
@@ -1842,17 +1843,15 @@ def decontaminate_against(
     # stays fully lazy with zero cache entries left behind (a persist here
     # would live for the session: the result is lazy, so no caller-side
     # unpersist point exists).
-    raw_bounded = (
-        bench_grams.select("gram").limit(broadcast_ceiling + 1).count()
+    # one shared gate (operators/gates.py): the bounded count runs on the
+    # RAW gram frame (upper bound on distinct), the gated build side is
+    # the DISTINCT probe — its aggregation runs exactly once, inside the
+    # join plan below, never in the size check
+    hit, _ = gates.gated_build_side(
+        bench_grams.select("gram").distinct().withColumn("_hit", F.lit(1)),
+        broadcast_ceiling,
+        count_frame=bench_grams.select("gram"),
     )
-    hit = bench_grams.select("gram").distinct().withColumn("_hit", F.lit(1))
-    if raw_bounded <= broadcast_ceiling:
-        hit = F.broadcast(hit)
-    else:
-        # past the ceiling the probe must NOT broadcast — and the
-        # optimizer could still auto-broadcast a borderline frame it
-        # underestimates, so pin the keyed strategy
-        hit = hit.hint("shuffle_hash")
     joined = grams.join(hit, "gram", "left")
     agg = joined.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_grams"),
