@@ -505,6 +505,98 @@ def run_delete_bench(cpus: int = CPUS, n_docs: int = N_DOCS) -> dict:
     }
 
 
+CC_CHAIN_NODES = int(os.environ.get("SPARK_GRAFT_CC_CHAIN", "100000"))
+CC_DENSE_CLUSTERS = int(os.environ.get("SPARK_GRAFT_CC_CLUSTERS", "2000"))
+CC_DENSE_SIZE = int(os.environ.get("SPARK_GRAFT_CC_SIZE", "50"))
+
+
+def run_cc_bench(cpus: int = CPUS) -> dict:
+    """Connected-components at adversarial scale (round-4 verdict #6):
+    propagation vs alternating large-star/small-star on
+
+    * a CC_CHAIN_NODES-node CHAIN — the worst-case diameter a
+      mutated-template near-dup family produces; propagation needs
+      diameter rounds (infeasible by design, so that arm runs the `auto`
+      fallback: 25 propagation rounds, then star over the chord-augmented
+      graph), star-from-round-one needs ~2·log₂(n);
+    * a DENSE graph (CC_DENSE_CLUSTERS cliques of CC_DENSE_SIZE) — the
+      realistic near-dup shape (copies of one page all pair together),
+      where propagation converges in 2-3 rounds.
+
+    Each arm records wall, rounds actually run, and the share of wall
+    spent in the exceptAll/join fixpoint checks (the candidate for a
+    cheaper change detector)."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.plans import graph
+    from searchengine_spark.plans.session import get_spark
+
+    spark = get_spark(
+        "bench-cc", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
+    )
+    chain = (
+        spark.range(CC_CHAIN_NODES - 1)
+        .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+        .repartition(max(cpus, 8))
+    )
+    # cliques: node id = cluster*SIZE + i; edges all (i, j), i < j
+    dense = (
+        spark.range(CC_DENSE_CLUSTERS)
+        .select(
+            F.explode(
+                F.expr(
+                    f"""flatten(transform(sequence(0, {CC_DENSE_SIZE - 2}),
+                        i -> transform(sequence(i + 1, {CC_DENSE_SIZE - 1}),
+                        j -> struct(id * {CC_DENSE_SIZE} + i AS src,
+                                    id * {CC_DENSE_SIZE} + j AS dst))))"""
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .repartition(max(cpus, 8))
+    )
+    for df in (chain, dense):
+        df.cache().count()
+
+    arms: dict[str, dict] = {}
+    expected = {
+        "chain": (CC_CHAIN_NODES, 1),
+        "dense": (CC_DENSE_CLUSTERS * CC_DENSE_SIZE, CC_DENSE_CLUSTERS),
+    }
+    for gname, edges in (("chain", chain), ("dense", dense)):
+        algos = ["star", "auto"] if gname == "chain" else ["propagation", "star"]
+        for algo in algos:
+            stats: dict = {}
+            t0 = time.time()
+            labels = graph.connected_components(
+                edges, max_iter=25, algorithm=algo, stats=stats
+            )
+            agg = labels.agg(
+                F.count("*").alias("n"),
+                F.countDistinct("label").alias("k"),
+            ).collect()[0]
+            wall = round(time.time() - t0, 3)
+            n_nodes, n_comp = expected[gname]
+            assert (int(agg["n"]), int(agg["k"])) == (n_nodes, n_comp), (
+                gname, algo, agg)
+            arms[f"{gname}_{algo}"] = {
+                "wall_sec": wall,
+                "rounds": stats.get("rounds"),
+                "fixpoint_check_sec": round(
+                    stats.get("fixpoint_check_sec", 0.0), 3
+                ),
+            }
+    return {
+        "metric": "cc_star_vs_propagation",
+        "value": arms["chain_star"]["wall_sec"],
+        "unit": "sec",
+        "arms": arms,
+        "chain_nodes": CC_CHAIN_NODES,
+        "dense_graph": f"{CC_DENSE_CLUSTERS}x{CC_DENSE_SIZE}-cliques",
+        "cpus": cpus,
+    }
+
+
 if __name__ == "__main__":
     if os.environ.get("SPARK_GRAFT_QUERY_INDEX"):
         print(
@@ -520,5 +612,7 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif "--delete" in sys.argv:
         print(json.dumps(run_delete_bench()))
+    elif "--cc" in sys.argv:
+        print(json.dumps(run_cc_bench()))
     else:
         print(json.dumps(run_bench()))
