@@ -1237,6 +1237,84 @@ SELECT vec_id, ROUND(sim, 5) AS sim FROM (
 ORDER BY sim DESC, vec_id LIMIT 5"""
 
 
+def q_ann_ivfpq(spark, sf_dir) -> DataFrame:
+    """IVF-PQ ANN via the engine API (plans/ann.py:ivfpq_topk) — the
+    billion-scale serving composition: coarse-cell prune (probe the
+    query's {IVF_PROBE} nearest of {IVF_CELLS} cells, same deterministic
+    centroids as ann_ivf_probe) + table-ADC PQ scoring of only those
+    cells' members (same codebooks as ann_pq). Exact math twin in DuckDB:
+    IVF assignment composed with the PQ reconstruction cosine, restricted
+    to the probed cells."""
+    from searchengine_spark.plans import ann
+
+    e = _embeddings(spark, sf_dir)
+    cents = (
+        e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= IVF_CELLS))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        )
+    )
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ann.ivfpq_topk(
+        e.filter(F.col("vec_id") > IVF_CELLS),
+        cents,
+        _pq_codebooks(spark, sf_dir),
+        query=qvec,
+        k=5,
+        n_probe=IVF_PROBE,
+    ).select("vec_id", F.round("sim", 5).alias("sim"))
+
+
+SQL_ANN_IVFPQ = f"""WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND {IVF_CELLS}),
+cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND {PQ_K}),
+dists AS (
+  SELECT e.vec_id, e.v, c.cid,
+         list_sum([x * x FOR x IN list_transform(e.v, (a, i) -> a - c.cv[i])]) AS d
+  FROM e CROSS JOIN cents c WHERE e.vec_id > {IVF_CELLS}),
+assigned AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT vec_id, v, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM dists) WHERE rn = 1),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+qcells AS (
+  SELECT c.cid AS cell, q.qv
+  FROM cents c, q
+  ORDER BY list_sum([x * x FOR x IN list_transform(q.qv, (a, i) -> a - c.cv[i])]), c.cid
+  LIMIT {IVF_PROBE}),
+cand AS (
+  SELECT a.vec_id, a.v, qc.qv FROM assigned a JOIN qcells qc ON a.cell = qc.cell),
+subs AS (SELECT unnest(range({PQ_M})) AS m),
+d2 AS (
+  SELECT cand.vec_id, s.m, c.cid,
+         list_sum([x * x FOR x IN list_transform(
+             list_slice(cand.v, s.m * {PQ_DSUB} + 1, s.m * {PQ_DSUB} + {PQ_DSUB}),
+             (a, i) -> a - c.cv[s.m * {PQ_DSUB} + i])]) AS dist
+  FROM cand CROSS JOIN subs s CROSS JOIN cb c),
+codes AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT vec_id, m, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+    FROM d2) WHERE rn = 1),
+recon AS (
+  SELECT codes.vec_id,
+         flatten(list(list_slice(cb.cv, codes.m * {PQ_DSUB} + 1,
+                                 codes.m * {PQ_DSUB} + {PQ_DSUB})
+                      ORDER BY codes.m)) AS r
+  FROM codes JOIN cb ON codes.cid = cb.cid
+  GROUP BY codes.vec_id)
+SELECT vec_id, ROUND(sim, 5) AS sim FROM (
+  SELECT recon.vec_id,
+         list_dot_product(recon.r, q.qv)
+         / NULLIF(sqrt(list_dot_product(recon.r, recon.r))
+                  * sqrt(list_dot_product(q.qv, q.qv)), 0) AS sim
+  FROM recon, q)
+ORDER BY sim DESC, vec_id LIMIT 5"""
+
+
 def _sql_plane(j: int) -> str:
     return "list_value(" + ", ".join(str(c) for c in HYPERPLANES[j]) + ")"
 
@@ -2223,6 +2301,7 @@ QUERIES = {
     "dedup_materialize": q_dedup_materialize,
     "ann_ivf_probe": q_ann_ivf_probe,
     "ann_pq": q_ann_pq,
+    "ann_ivfpq": q_ann_ivfpq,
     "phrase_match": q_phrase_match,
     "phrase_sharded": q_phrase_sharded,
     "postings_export_roundtrip": q_postings_export_roundtrip,
@@ -2267,6 +2346,7 @@ ORACLE_SQL = {
     "dedup_materialize": SQL_DEDUP_MATERIALIZE,
     "ann_ivf_probe": SQL_ANN_IVF_PROBE,
     "ann_pq": SQL_ANN_PQ,
+    "ann_ivfpq": SQL_ANN_IVFPQ,
     "phrase_match": SQL_PHRASE_MATCH,
     "phrase_sharded": SQL_PHRASE_SHARDED,
     "postings_export_roundtrip": SQL_POSTINGS_EXPORT_ROUNDTRIP,
