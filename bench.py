@@ -354,6 +354,8 @@ PIPELINE_QUERIES = (
     "decontaminate_ngram",
     "pii_scrub",
     "corpus_clean",
+    "events_sessionize",
+    "events_hourly",
 )
 
 
