@@ -2160,6 +2160,20 @@ def sessionize_events(e: DataFrame, gap_sec: int = SESSION_GAP_SEC,
        prefix + local_no − join_prev, which reproduces the 1-based
        (t, event_id)-ordered numbering of the bare-user window exactly.
 
+    The summary is computed WINDOWLESSLY from the raw events (not from the
+    pass-1 frame): n_local = 1 + #{consecutive sorted-t gaps > gap_sec in
+    the chunk} — the same count `max(local_no)` would give (t-ties diff to
+    0 ≤ gap, so tie order can't affect it), via one hash aggregate over
+    `array_sort(collect_list(t))`. Branch independence matters because
+    Catalyst prunes the two consumers of the pass-1 window differently, so
+    their exchanges never canonicalize equal and ReusedExchange cannot fire
+    (measured, round 5) — reusing `ev` here would re-scan AND re-shuffle
+    full event rows through a second window sort; the aggregate branch
+    ships only (user, chunk, t-list) partials with no sort. Group size is
+    bounded by events-per-user-per-chunk, the same bound pass 1's window
+    task already carries. Assumes non-null t (the events schema contract;
+    a null t would sort first in pass 1 but be dropped by collect_list).
+
     The stitch join back to events is keyed (user_id, chunk) — the same
     bounded key as pass 1, so no step of the plan concentrates a monster
     user. Ties break on the unique event_id, deterministic under any
@@ -2170,8 +2184,19 @@ def sessionize_events(e: DataFrame, gap_sec: int = SESSION_GAP_SEC,
     ev = e.withColumn(
         "is_new", F.when(gap.isNull() | (gap > gap_sec), 1).otherwise(0)
     ).withColumn("local_no", F.sum("is_new").over(w_c))
-    summ = ev.groupBy("user_id", "chunk").agg(
-        F.max("local_no").alias("n_local"),
+    ts_sorted = F.array_sort(F.collect_list("t"))
+    n_breaks = F.size(
+        F.filter(
+            F.zip_with(
+                F.slice(ts_sorted, 2, F.greatest(F.size(ts_sorted) - 1, F.lit(0))),
+                F.slice(ts_sorted, 1, F.greatest(F.size(ts_sorted) - 1, F.lit(0))),
+                lambda a, b: a - b,
+            ),
+            lambda d: d > gap_sec,
+        )
+    )
+    summ = e.groupBy("user_id", "chunk").agg(
+        (n_breaks + F.lit(1)).cast("long").alias("n_local"),
         F.min("t").alias("t_first"),
         F.max("t").alias("t_last"),
     )

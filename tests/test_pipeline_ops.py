@@ -497,3 +497,26 @@ def test_sessionize_plan_has_no_bare_user_window(spark):
             # the only user-alone windows allowed are over the chunk
             # summary (inputs carry n_local/t_first/t_last, never event_id)
             assert "t_last" in line or "n_local" in line, line
+
+
+def test_sessionize_summary_branch_is_windowless(spark):
+    """The (user, chunk) summary must come from ONE hash aggregate over the
+    raw events, not a second execution of the pass-1 window: Catalyst
+    prunes the two consumers differently so their exchanges never
+    canonicalize equal and ReusedExchange cannot fire (measured round 5) —
+    a window-derived summary would re-scan and re-sort full event rows.
+    Pin: exactly the pass-1 pair of per-EVENT windows (spec orders by
+    event_id) appears in the plan, and the sorted-t gap-count aggregate is
+    present."""
+    from searchengine_spark.plans.entry_queries import sessionize_events
+
+    df = spark.createDataFrame(
+        [("e1", "u1", 100, 1.0)],
+        "event_id string, user_id string, t long, value double")
+    plan = sessionize_events(df)._jdf.queryExecution().optimizedPlan().toString()
+    per_event_windows = [
+        line for line in plan.splitlines()
+        if "windowspecdefinition(" in line and "event_id" in line
+    ]
+    assert len(per_event_windows) == 2, plan  # lag + running-sum, once
+    assert "collect_list" in plan and "array_sort" in plan, plan
