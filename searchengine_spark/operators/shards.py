@@ -88,6 +88,16 @@ BLOCK_SCHEMA = (
 BLOCK_POS_SCHEMA = BLOCK_SCHEMA + ", pcounts binary, pgaps binary"
 
 DEFAULT_BLOCK_SIZE = 128
+# docs per field-signature sidecar row (fieldsig_block_rows). One row per
+# SHARD would be correct but defeats WAND's phase-1 sub-range splitting
+# (plans/wand.py): the explode ships a shard-spanning sidecar row to EVERY
+# cell and each cell varint-decodes the whole shard's signatures — measured
+# round 5 as the dominant sub-split cost (posting blocks duplicated ×1.02,
+# sig rows ×S). Chunked rows route to only the cells they overlap; 4096
+# matches wand.SUB_SPLIT_MIN_DOCS so the smallest legal cell sees ~1-2
+# chunks. Readers are unaffected — the sidecar contract has always been
+# "a shard may carry several signature rows; concatenate by docno".
+SIG_CHUNK_DOCS = 4096
 TERM_BUCKETS = 8
 
 # Auto-sharding policy: the DEFAULT is a constant docs-per-shard TARGET with
@@ -385,16 +395,19 @@ def fieldsig_block_rows(sig_src: DataFrame, with_positions: bool = False) -> Dat
     Input: (shard, docno, title, description, content_snippet) — or, fast
     path, (shard, docno, fieldsig) with the words precomputed by the
     stage-1 tokenizer (index_build.tokenize_documents) so no extra UDF pass
-    runs here. One row per doc. Output: ONE block row per shard with
-    ``term = SIG_TERM`` holding
-    every doc's 14-uint32 Bloom signature — ``gaps`` is the standard
-    delta-gapped docno stream, ``tfs`` the doc-major interleave of the 14
-    words (32-bit values: exact through the merge path's float64-mediated
-    varint re-encode), ``dls``/``fls`` empty. The signature words are
-    computed MAP-SIDE (Arrow batch UDF) so the per-shard exchange carries
-    ~64 B/doc, not the ~350 B/doc of field text. Merged segments keep their
-    rows verbatim (operators/merge.py passes pseudo-terms through), so a
-    shard may carry several signature rows; readers concatenate by docno.
+    runs here. One row per doc. Output: block rows (one per SIG_CHUNK_DOCS
+    docs, ``block_no`` = chunk index) per shard with ``term = SIG_TERM``
+    holding the docs' 14-uint32 Bloom signatures — ``gaps`` is the standard
+    delta-gapped docno stream (first gap absolute, per row), ``tfs`` the
+    doc-major interleave of the 14 words (32-bit values: exact through the
+    merge path's float64-mediated varint re-encode), ``dls``/``fls`` empty.
+    Chunking (not one shard-spanning row) keeps the sidecar compatible with
+    WAND's phase-1 sub-range cells — see the SIG_CHUNK_DOCS note. The
+    signature words are computed MAP-SIDE (Arrow batch UDF) so the
+    per-shard exchange carries ~64 B/doc, not the ~350 B/doc of field
+    text. Merged segments keep their rows verbatim (operators/merge.py
+    passes pseudo-terms through), so a shard may carry several signature
+    rows beyond the chunking; readers concatenate by docno.
     """
     from searchengine_spark.functions import fieldsig
 
@@ -421,29 +434,35 @@ def fieldsig_block_rows(sig_src: DataFrame, with_positions: bool = False) -> Dat
             return pd.DataFrame(columns=out_cols)
         pdf = pdf.sort_values("docno")
         docnos = pdf["docno"].to_numpy(dtype=np.uint64)
-        gaps = np.empty_like(docnos)
-        gaps[0] = docnos[0]
-        np.subtract(docnos[1:], docnos[:-1], out=gaps[1:])
         words = np.stack(pdf["sw"].to_numpy()).astype(np.uint64)
-        row = {
-            "shard": [int(pdf["shard"].iloc[0])],
-            "term": [fieldsig.SIG_TERM],
-            "block_no": [0],
-            "n": [len(pdf)],
-            "min_docno": [int(docnos[0])],
-            "max_docno": [int(docnos[-1])],
-            "max_partial": [0.0],
-            "max_tf": [0],
-            "min_dl": [0],
-            "gaps": [codec.varint_encode(gaps)],
-            "tfs": [codec.varint_encode(words.ravel())],
-            "dls": [b""],
-            "fls": [b""],
-        }
-        if with_positions:
-            row["pcounts"] = [b""]
-            row["pgaps"] = [b""]
-        return pd.DataFrame(row, columns=out_cols)
+        shard_val = int(pdf["shard"].iloc[0])
+        rows = []
+        for bno, a in enumerate(range(0, len(docnos), SIG_CHUNK_DOCS)):
+            d = docnos[a : a + SIG_CHUNK_DOCS]
+            w = words[a : a + SIG_CHUNK_DOCS]
+            gaps = np.empty_like(d)
+            gaps[0] = d[0]
+            np.subtract(d[1:], d[:-1], out=gaps[1:])
+            row = {
+                "shard": shard_val,
+                "term": fieldsig.SIG_TERM,
+                "block_no": bno,
+                "n": len(d),
+                "min_docno": int(d[0]),
+                "max_docno": int(d[-1]),
+                "max_partial": 0.0,
+                "max_tf": 0,
+                "min_dl": 0,
+                "gaps": codec.varint_encode(gaps),
+                "tfs": codec.varint_encode(w.ravel()),
+                "dls": b"",
+                "fls": b"",
+            }
+            if with_positions:
+                row["pcounts"] = b""
+                row["pgaps"] = b""
+            rows.append(row)
+        return pd.DataFrame(rows, columns=out_cols)
 
     return src.groupBy("shard").applyInPandas(build, schema)
 

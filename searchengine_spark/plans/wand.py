@@ -250,7 +250,17 @@ def _phase1_kernel(
                     dcat = np.concatenate(ds)
                     wcat = np.concatenate(ws)
                     order = np.argsort(dcat, kind="stable")
-                    sig_cache.append((dcat[order], wcat[order]))
+                    dcat, wcat = dcat[order], wcat[order]
+                    if sub_range is not None:
+                        # keep only the cell's window — sidecar rows are
+                        # chunked at build (shards.SIG_CHUNK_DOCS) so a
+                        # cell receives ~its own chunks plus boundary
+                        # spill; this trims the spill from the probe
+                        # arrays (docnos ascend → contiguous slice)
+                        a = int(np.searchsorted(dcat, sub_range[0]))
+                        z = int(np.searchsorted(dcat, sub_range[1], side="right"))
+                        dcat, wcat = dcat[a:z], wcat[a:z]
+                    sig_cache.append((dcat, wcat))
         return sig_cache[0]
 
     by_term = {t: g for t, g in blocks_pdf.groupby("term")}
