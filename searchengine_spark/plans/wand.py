@@ -735,15 +735,21 @@ class WandSearchEngine:
     def _sub_split(self) -> int:
         """Resolve the phase-1 sub-split factor S (cells per shard).
 
-        Explicit ``sub_split`` wins; auto targets SUB_SPLIT_TASK_FACTOR
-        kernel groups per core, capped so a cell never shrinks below
-        SUB_SPLIT_MIN_DOCS docs. Any index whose shard count already
-        saturates the cores (the production shape: shards ≫ executors)
-        resolves to 1 — sub-splitting exists for the opposite regime,
-        a serving tier with more cores than index shards."""
+        Explicit ``sub_split`` wins. Auto resolves to 1 whenever the shard
+        count already saturates the cores (n_shards >= cores — the
+        production shape, shards ≫ executors, and also the break-even
+        boundary: the round-5 2x2 on a 4-shard 1M-doc index measured
+        S=4 at 4 cores REGRESSING 10% vs S=1, while S=auto at 16 cores
+        ran 2.0x faster — splitting buys parallelism only when cores
+        exceed shards; at saturation it only adds boundary duplication
+        and per-cell fixed costs). Below saturation it targets
+        SUB_SPLIT_TASK_FACTOR kernel groups per core, capped so a cell
+        never shrinks below SUB_SPLIT_MIN_DOCS docs."""
         if self.sub_split is not None:
             return max(1, int(self.sub_split))
         par = self.spark.sparkContext.defaultParallelism
+        if self.index.n_shards >= par:
+            return 1
         want = math.ceil(
             self.SUB_SPLIT_TASK_FACTOR * par / max(1, self.index.n_shards)
         )

@@ -144,6 +144,16 @@ def test_auto_policy(spark, index):
     prod = dataclasses.replace(index, n_shards=64 * par, shard_size=4_000_000)
     assert WandSearchEngine(spark, prod)._sub_split() == 1
 
+    # saturation boundary: shards == cores → S = 1 (round-5 2x2 measured
+    # splitting at saturation regressing 10% — no idle cores to recruit)
+    sat = dataclasses.replace(index, n_shards=par, shard_size=4_000_000)
+    assert WandSearchEngine(spark, sat)._sub_split() == 1
+
+    # just below saturation: splitting kicks in
+    if par > 1:
+        near = dataclasses.replace(index, n_shards=par - 1, shard_size=4_000_000)
+        assert WandSearchEngine(spark, near)._sub_split() > 1
+
     # serving shape: one fat shard, many cores → task-factor target
     fat = dataclasses.replace(index, n_shards=1, shard_size=100_000_000)
     assert (
