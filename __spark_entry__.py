@@ -57,6 +57,7 @@ def oracle_sql() -> dict[str, str]:
     from searchengine_spark.plans.entry_queries import (
         ORACLE_SQL,
         STEMMED_ORACLE_SF_DIR,
+        materialize_hybrid_oracle_embeddings,
         materialize_stemmed_oracle_table,
     )
 
@@ -69,4 +70,11 @@ def oracle_sql() -> dict[str, str]:
     except Exception:  # testdata missing: degrade to rows-only, don't break
         out.pop("bm25_stemmed_topk", None)
         out.pop("wand_stemmed_topk", None)
+        out.pop("hybrid_topk", None)
+    # Same mechanism for the hybrid combine twin's embedding vectors
+    # (engine's own pure encoder, driver-side; see plans/entry_queries.py).
+    try:
+        materialize_hybrid_oracle_embeddings(STEMMED_ORACLE_SF_DIR)
+    except Exception:
+        out.pop("hybrid_topk", None)
     return out

@@ -1689,15 +1689,17 @@ def materialize_stemmed_oracle_table(sf_dir: str) -> str:
     return path
 
 
-def _build_stemmed_sql(path: str) -> str:
-    """BM25 + boost chain + normalize/top-10 in DuckDB SQL over the
-    materialized stemmed table — the exact SQL twin of
-    BM25SearchEngine.search_batch for the text-only corpus (title/meta
+def _stemmed_norm_ctes(path: str) -> str:
+    """The shared CTE chain of the stemmed-path oracles: materialized
+    stemmed table → BM25 → boost chain → normalized scores (`norm`).
+    BM25 + boost chain + normalize in DuckDB SQL — the exact SQL twin of
+    BM25SearchEngine.score_batch for the text-only corpus (title/meta
     empty ⇒ only the snippet-phrase and proximity boosts can fire).
     Query analysis (expand/stem/weights) happens HERE at SQL-build time
-    with the engine's own analyze_query, embedded as literals."""
+    with the engine's own analyze_query, embedded as literals. Consumed
+    by _build_stemmed_sql (top-10 tail) and _build_hybrid_sql (2k-candidate
+    arm of the 0.7/0.3 combine)."""
     from searchengine_spark.config import (
-        MIN_SCORE_THRESHOLD,
         ORIGINAL_TERM_IMPORTANCE,
         PROXIMITY_BOOST,
         SNIPPET_PHRASE_BOOST,
@@ -1719,7 +1721,7 @@ def _build_stemmed_sql(path: str) -> str:
         if len(orig_tokens) > 1
         else "FALSE"
     )
-    return f"""WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, toks, CAST(doc_len AS DOUBLE) AS doc_len, snippet
   FROM read_parquet('{path}')),
 w(term, wt) AS (VALUES {w_values}),
@@ -1746,7 +1748,15 @@ boosted AS (
 norm AS (SELECT doc_id,
                 CASE WHEN MAX(score) OVER () > 0
                      THEN score / MAX(score) OVER () ELSE score END AS nscore
-         FROM boosted)
+         FROM boosted)"""
+
+
+def _build_stemmed_sql(path: str) -> str:
+    """Top-10 tail over the shared stemmed CTE chain — the exact SQL twin
+    of BM25SearchEngine.search_batch (rank ≤ k, min-score threshold)."""
+    from searchengine_spark.config import MIN_SCORE_THRESHOLD
+
+    return f"""WITH {_stemmed_norm_ctes(path)}
 SELECT CAST(rank AS INTEGER) AS rank, doc_id, ROUND(nscore, 6) AS score FROM (
   SELECT doc_id, nscore,
          ROW_NUMBER() OVER (ORDER BY nscore DESC, doc_id ASC) AS rank
@@ -1757,6 +1767,131 @@ ORDER BY rank"""
 
 SQL_BM25_STEMMED_TOPK = _build_stemmed_sql(stemmed_oracle_path(STEMMED_ORACLE_SF_DIR))
 SQL_WAND_STEMMED_TOPK = SQL_BM25_STEMMED_TOPK
+
+
+# -------------------------------------------------- hybrid-path DuckDB oracle
+# Q10 (optimized_indexer.py:119-203) under the driver's hash gate: the full
+# HybridSearchEngine — BM25 2k-candidate arm, embedding top-k arm,
+# intersection-only 0.7/0.3 combine — against a DuckDB twin. Same mechanism
+# as the stemmed oracle: the one non-SQL-expressible stage (the encoder) is
+# materialized driver-side with the engine's own pure function
+# (plans/hybrid._hash_embed over the identical text composition), then ALL
+# downstream math — FAISS d=2−2·dot → sim=1/(1+d) conversion, per-arm
+# top-k, intersection join, weighted combine, final rank — is re-spelled in
+# SQL over the materialized vectors + the stemmed token table.
+# k for the hybrid oracle row. The combine keeps only the intersection of
+# BM25-top-2k and embedding-top-k, and the two arms rank by different
+# signals (full-text BM25 vs snippet-token cosine), so small k yields an
+# empty — vacuous — intersection at oracle scale (measured: k=10 → 0 rows,
+# k=20 → 1, k=40 → 4). k=40 keeps the hash check discriminative across
+# both arms' ranks, the intersection join, and the 0.7/0.3 weights.
+HYBRID_TOP_K = 40
+
+
+def hybrid_oracle_emb_path(sf_dir: str) -> str:
+    import os
+
+    return os.path.join(_scratch_dir(sf_dir, "hybrid_oracle"), "embeddings.parquet")
+
+
+def materialize_hybrid_oracle_embeddings(sf_dir: str) -> str:
+    """Driver-side Python (NOT Spark) twin of
+    plans/hybrid.build_doc_embeddings over the text-only corpus: documents
+    → (doc_id, is_query, embedding:float32[]) parquet via the engine's own
+    pure encoder, plus one query row (``is_query``) holding the encoded
+    STEMMED_QUERY. The text composition matches build_doc_embeddings for
+    text_only docs exactly — title/description empty, snippet =
+    make_snippet(text), title doubled (bert_embeddings.py:106) — and the
+    values are float32 like the engine's store, so the vectors are
+    bit-identical (pinned by tests/test_hybrid.py)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchengine_spark.functions import textproc
+    from searchengine_spark.plans.hybrid import _hash_embed
+
+    src = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    doc_ids = [str(x) for x in src.column("doc_id").to_pylist()]
+    texts = src.column("text").to_pylist()
+    t = d = ""
+    embs = [
+        _hash_embed(f"{t} {t} {d} {textproc.make_snippet(x or '')}") for x in texts
+    ]
+    qv = _hash_embed(STEMMED_QUERY)
+    out = pa.table(
+        {
+            "doc_id": pa.array(doc_ids + [""], pa.string()),
+            "is_query": pa.array([False] * len(doc_ids) + [True]),
+            "embedding": pa.array(
+                [e.tolist() for e in embs] + [qv.tolist()],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    path = hybrid_oracle_emb_path(sf_dir)
+    pq.write_table(out, path)
+    return path
+
+
+def q_hybrid_topk(spark, sf_dir) -> DataFrame:
+    """Full hybrid engine (plans/hybrid.HybridSearchEngine) over the
+    text-only corpus: Porter-stemmed BM25 fetches 2k candidates, the
+    embedding arm fetches k (hashing-trick encoder, FAISS sim conversion),
+    only the intersection survives at 0.7·bm25_norm + 0.3·sim
+    (optimized_indexer.py:138-140). The DuckDB twin re-spells every
+    post-encoder stage in SQL (SQL_HYBRID_TOPK)."""
+    from searchengine_spark.plans.hybrid import HybridSearchEngine
+    from searchengine_spark.plans.text_only import build_text_only_index
+
+    tables = build_text_only_index(spark, _documents(spark, sf_dir))
+    engine = HybridSearchEngine(spark, tables)
+    res = engine.search_batch(
+        [(0, STEMMED_QUERY)], top_k=HYBRID_TOP_K, with_metadata=False
+    )
+    return res.select("rank", "doc_id", F.round("score", 6).alias("score"))
+
+
+def _build_hybrid_sql(emb_path: str, stemmed_path: str) -> str:
+    """The combine twin: BM25 2k candidates (shared stemmed CTE chain +
+    search_batch's rank/threshold tail), embedding top-k with the engine's
+    exact arithmetic shape — float32 products (the engine's zip_with on
+    array<float> multiplies in float32) cast to double and summed in index
+    order, sim = 1/(1+(2−2·dot)) — then intersection-only weighted
+    combine."""
+    from searchengine_spark.config import MIN_SCORE_THRESHOLD
+    from searchengine_spark.plans.hybrid import BM25_WEIGHT, EMB_WEIGHT
+
+    return f"""WITH {_stemmed_norm_ctes(stemmed_path)},
+bm AS (SELECT doc_id, nscore FROM (
+    SELECT doc_id, nscore,
+           ROW_NUMBER() OVER (ORDER BY nscore DESC, doc_id ASC) AS rn
+    FROM norm)
+  WHERE rn <= {2 * HYBRID_TOP_K} AND nscore > {MIN_SCORE_THRESHOLD}),
+ev AS (SELECT doc_id, embedding FROM read_parquet('{emb_path}') WHERE NOT is_query),
+qv AS (SELECT embedding AS q FROM read_parquet('{emb_path}') WHERE is_query),
+sims AS (SELECT e.doc_id,
+                1.0 / (1.0 + (2.0 - 2.0 * list_sum(list_transform(
+                    e.embedding, (a, i) -> CAST(a * q.q[i] AS DOUBLE))))) AS sim
+         FROM ev e, qv q),
+embk AS (SELECT doc_id, sim FROM (
+    SELECT doc_id, sim,
+           ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id ASC) AS rn
+    FROM sims)
+  WHERE rn <= {HYBRID_TOP_K}),
+comb AS (SELECT b.doc_id,
+                {BM25_WEIGHT} * b.nscore + {EMB_WEIGHT} * s.sim AS score
+         FROM bm b JOIN embk s USING (doc_id))
+SELECT CAST(rank AS INTEGER) AS rank, doc_id, ROUND(score, 6) AS score FROM (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM comb)
+WHERE rank <= {HYBRID_TOP_K} ORDER BY rank"""
+
+
+SQL_HYBRID_TOPK = _build_hybrid_sql(
+    hybrid_oracle_emb_path(STEMMED_ORACLE_SF_DIR),
+    stemmed_oracle_path(STEMMED_ORACLE_SF_DIR),
+)
 
 
 # ---------------------------------------------------------------- rows-only (non-SQL) queries
@@ -2334,6 +2469,7 @@ QUERIES = {
     "window_cooccur": q_window_cooccur,
     "bm25_stemmed_topk": q_bm25_stemmed_topk,
     "wand_stemmed_topk": q_wand_stemmed_topk,
+    "hybrid_topk": q_hybrid_topk,
     "multimodal_features": q_multimodal_features,
     "decontaminate_ngram": q_decontaminate_ngram,
     "pii_scrub": q_pii_scrub,
@@ -2381,6 +2517,9 @@ ORACLE_SQL = {
     # table (__spark_entry__.oracle_sql() runs the materializer first)
     "bm25_stemmed_topk": SQL_BM25_STEMMED_TOPK,
     "wand_stemmed_topk": SQL_WAND_STEMMED_TOPK,
+    # hybrid path: combine twin over the stemmed table + driver-side-
+    # materialized embedding vectors (same mechanism, see _build_hybrid_sql)
+    "hybrid_topk": SQL_HYBRID_TOPK,
     # the featurizer's SQL-expressible core + frame counts; only the
     # import-gated real decode (multimodal.decode_media) stays un-oracled
     "multimodal_features": SQL_MULTIMODAL_FEATURES,

@@ -150,3 +150,51 @@ def test_embedding_ann_path(spark, engine):
     pruned2 = engine.embedding_search_batch(queries, top_k=5, ann_planes=planes).collect()
     for r in pruned2:
         assert abs(exact[(r["query_id"], r["doc_id"])] - r["sim"]) < 1e-9
+
+
+def test_hybrid_oracle_embeddings_bit_identical(spark, tmp_path, monkeypatch):
+    """The driver-side materializer that feeds the DuckDB hybrid-combine
+    twin (entry_queries.materialize_hybrid_oracle_embeddings) must produce
+    BIT-identical float32 vectors to the engine's own Arrow build
+    (build_doc_embeddings over the text-only corpus) — the twin's sims are
+    only hash-comparable because the vectors, not just the math, agree."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from searchengine_spark.plans import entry_queries as eq
+    from searchengine_spark.plans.text_only import tokenize_text_documents
+    from searchengine_spark.operators.index_build import build_index_tables
+
+    sf_dir = "/root/testdata/sf0.001"
+    monkeypatch.setattr(
+        eq, "_scratch_dir", lambda sf, name: str(tmp_path)
+    )
+    path = eq.materialize_hybrid_oracle_embeddings(sf_dir)
+    mat = pq.read_table(path)
+    by_id = {
+        d: np.asarray(e, dtype=np.float32)
+        for d, q, e in zip(
+            mat.column("doc_id").to_pylist(),
+            mat.column("is_query").to_pylist(),
+            mat.column("embedding").to_pylist(),
+        )
+        if not q
+    }
+    qvec = next(
+        np.asarray(e, dtype=np.float32)
+        for q, e in zip(
+            mat.column("is_query").to_pylist(),
+            mat.column("embedding").to_pylist(),
+        )
+        if q
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tables = build_index_tables(tokenize_text_documents(docs))
+    built = build_doc_embeddings(tables.docs).collect()
+    assert len(built) == len(by_id)
+    for r in built:
+        want = by_id[r["doc_id"]]
+        got = np.asarray(r["embedding"], dtype=np.float32)
+        assert np.array_equal(got, want), r["doc_id"]
+    # the query row is the engine's encoder over the raw query string
+    assert np.array_equal(qvec, _hash_embed(eq.STEMMED_QUERY))
