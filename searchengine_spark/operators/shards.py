@@ -718,8 +718,9 @@ def shard_and_write_from_tokenized(
             BLOCK_POS_SCHEMA if with_positions else BLOCK_SCHEMA,
         )
     )
-    # field-signature sidecar (one pseudo-term row per shard; see
-    # fieldsig_block_rows) unions into the same write. Words come
+    # field-signature sidecar (pseudo-term rows, one per SIG_CHUNK_DOCS
+    # docs per shard; see fieldsig_block_rows — readers concatenate a
+    # shard's chunks by docno) unions into the same write. Words come
     # precomputed from the stage-1 tokenize pass when available (no extra
     # UDF job); either way the per-shard exchange carries ~64 B/doc
     sig_cols = (

@@ -458,7 +458,34 @@ def _pq_score_and_rerank(
     M+M ``element_at`` lookups per scanned row, never a d-dim dot — then
     either top-k directly or exact-cosine re-rank of the top-``rerank``
     shortlist. ``cand`` must carry (id_col, v, codes, qv, dot_tab, q_norm)
-    (the latter two from :func:`_pq_query_tables`)."""
+    (the latter two from :func:`_pq_query_tables`).
+
+    Fail-loud on geometry mismatch: a precomputed ``coded=`` frame encoded
+    against DIFFERENT codebooks (wrong M, or codes ≥ this codebook's K)
+    would otherwise NULL the ``element_at`` lookups and silently sink those
+    rows to the bottom of the ranking — so every row's codes are guarded
+    with a per-row raise_error, the same contract assign_pq_codes applies
+    to vector length."""
+    M = len(codebooks)
+    codes_ok = F.size("codes") == M
+    for m, cb in enumerate(codebooks):
+        c = F.element_at(F.col("codes"), m + 1)
+        codes_ok = codes_ok & (c >= 0) & (c < len(cb))
+    cand = cand.withColumn(
+        "codes",
+        F.when(codes_ok, F.col("codes")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "pq scoring: codes row does not match the codebook "
+                        f"geometry (M={M}, K="
+                        f"{[len(cb) for cb in codebooks]}): "
+                    ),
+                    F.col("codes").cast("string"),
+                )
+            )
+        ),
+    )
     code_at = lambda m: F.element_at(F.col("codes"), m + 1) + 1  # noqa: E731
     num = reduce(
         lambda a, b: a + b,

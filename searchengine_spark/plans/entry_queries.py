@@ -1775,7 +1775,7 @@ SQL_WAND_STEMMED_TOPK = SQL_BM25_STEMMED_TOPK
 # intersection-only 0.7/0.3 combine — against a DuckDB twin. Same mechanism
 # as the stemmed oracle: the one non-SQL-expressible stage (the encoder) is
 # materialized driver-side with the engine's own pure function
-# (plans/hybrid._hash_embed over the identical text composition), then ALL
+# (plans/hybrid.make_encoder over the identical text composition), then ALL
 # downstream math — FAISS d=2−2·dot → sim=1/(1+d) conversion, per-arm
 # top-k, intersection join, weighted combine, final rank — is re-spelled in
 # SQL over the materialized vectors + the stemmed token table.
@@ -1803,21 +1803,26 @@ def materialize_hybrid_oracle_embeddings(sf_dir: str) -> str:
     text_only docs exactly — title/description empty, snippet =
     make_snippet(text), title doubled (bert_embeddings.py:106) — and the
     values are float32 like the engine's store, so the vectors are
-    bit-identical (pinned by tests/test_hybrid.py)."""
+    bit-identical (pinned by tests/test_hybrid.py). Encoding goes through
+    make_encoder(), the SAME import gate the engine resolves — so if a
+    real sentence-transformers ever appears in this environment, both
+    sides switch together and the twin stays valid."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from searchengine_spark.functions import textproc
-    from searchengine_spark.plans.hybrid import _hash_embed
+    from searchengine_spark.plans.hybrid import make_encoder
 
+    encode = make_encoder()
     src = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     doc_ids = [str(x) for x in src.column("doc_id").to_pylist()]
     texts = src.column("text").to_pylist()
     t = d = ""
-    embs = [
-        _hash_embed(f"{t} {t} {d} {textproc.make_snippet(x or '')}") for x in texts
-    ]
-    qv = _hash_embed(STEMMED_QUERY)
+    embs = encode(
+        [f"{t} {t} {d} {textproc.make_snippet(x or '')}" for x in texts]
+    ).astype(np.float32)
+    qv = encode([STEMMED_QUERY]).astype(np.float32)[0]
     out = pa.table(
         {
             "doc_id": pa.array(doc_ids + [""], pa.string()),

@@ -254,3 +254,34 @@ def test_pq_codebook_mixed_centroid_dims_rejected(emb, codebooks):
     bad[1] = [bad[1][0][:-1]] + [list(c) for c in bad[1][1:]]
     with pytest.raises(ValueError, match="mixed dims"):
         ann.assign_pq_codes(emb, bad)
+
+
+def test_pq_coded_frame_geometry_mismatch_fails_loudly(emb, codebooks):
+    """The public coded= path ('encode once, query many') must fail loudly
+    when the precomputed frame was encoded against DIFFERENT codebooks —
+    a code ≥ this codebook's K (or a wrong M) would otherwise NULL the ADC
+    table lookups and silently sink those rows to the bottom."""
+    coded = ann.assign_pq_codes(emb, codebooks)  # codes in [0, 8)
+    small = [cb[:4] for cb in codebooks]  # K=4: codes 4..7 out of range
+    with pytest.raises(Exception, match="geometry"):
+        ann.pq_topk(emb, small, query=3, k=10, coded=coded).collect()
+    wrong_m = codebooks[:3]  # M=3 vs codes arrays of length 4
+    with pytest.raises(Exception, match="geometry"):
+        ann.pq_topk(emb, wrong_m, query=3, k=10, coded=coded).collect()
+
+
+def test_pq_reconstruct_expr_matches_code_layout(emb, vectors, codebooks):
+    """pq_reconstruct_expr (the decode/debug inverse of assign_pq_codes)
+    stays in sync with the code layout the ADC scoring path reads: the
+    reconstruction equals the numpy gather of each subspace's chosen
+    centroid, concatenated in subspace order."""
+    coded = ann.assign_pq_codes(emb, codebooks)
+    rows = coded.withColumn(
+        "recon", ann.pq_reconstruct_expr(F.col("codes"), codebooks)
+    ).collect()
+    assert len(rows) == N_CLUSTERS * PER_CLUSTER
+    for r in rows[:50]:
+        want = np.concatenate(
+            [np.asarray(cb[c]) for cb, c in zip(codebooks, r["codes"])]
+        )
+        assert np.allclose(np.asarray(r["recon"]), want), r["vec_id"]

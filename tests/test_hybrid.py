@@ -197,4 +197,7 @@ def test_hybrid_oracle_embeddings_bit_identical(spark, tmp_path, monkeypatch):
         got = np.asarray(r["embedding"], dtype=np.float32)
         assert np.array_equal(got, want), r["doc_id"]
     # the query row is the engine's encoder over the raw query string
-    assert np.array_equal(qvec, _hash_embed(eq.STEMMED_QUERY))
+    from searchengine_spark.plans.hybrid import make_encoder
+
+    want_q = make_encoder()([eq.STEMMED_QUERY]).astype(np.float32)[0]
+    assert np.array_equal(qvec, want_q)
