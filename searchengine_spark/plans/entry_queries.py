@@ -1689,7 +1689,7 @@ def materialize_stemmed_oracle_table(sf_dir: str) -> str:
     return path
 
 
-def _stemmed_norm_ctes(path: str) -> str:
+def _stemmed_norm_ctes(path: str, where: str = "") -> str:
     """The shared CTE chain of the stemmed-path oracles: materialized
     stemmed table → BM25 → boost chain → normalized scores (`norm`).
     BM25 + boost chain + normalize in DuckDB SQL — the exact SQL twin of
@@ -1697,8 +1697,14 @@ def _stemmed_norm_ctes(path: str) -> str:
     empty ⇒ only the snippet-phrase and proximity boosts can fire).
     Query analysis (expand/stem/weights) happens HERE at SQL-build time
     with the engine's own analyze_query, embedded as literals. Consumed
-    by _build_stemmed_sql (top-10 tail) and _build_hybrid_sql (2k-candidate
-    arm of the 0.7/0.3 combine)."""
+    by _build_stemmed_sql (top-10 tail), _build_hybrid_sql (2k-candidate
+    arm of the 0.7/0.3 combine) and _build_masked_sql (tombstones).
+
+    ``where`` (a full "WHERE ..." clause) restricts the corpus at the toks
+    CTE — every downstream statistic (N, avgdl, df, idf, normalize max)
+    derives from the SURVIVORS, which is exactly the tombstone-mask
+    contract (operators/tombstones.py: a masked query is rank- and
+    score-identical to a fresh build of the surviving corpus)."""
     from searchengine_spark.config import (
         ORIGINAL_TERM_IMPORTANCE,
         PROXIMITY_BOOST,
@@ -1723,7 +1729,7 @@ def _stemmed_norm_ctes(path: str) -> str:
     )
     return f"""toks AS (
   SELECT doc_id, toks, CAST(doc_len AS DOUBLE) AS doc_len, snippet
-  FROM read_parquet('{path}')),
+  FROM read_parquet('{path}') {where}),
 w(term, wt) AS (VALUES {w_values}),
 n AS (SELECT COUNT(*) AS n_docs FROM toks),
 avgdl AS (SELECT AVG(doc_len) AS avgdl FROM toks),
@@ -1897,6 +1903,58 @@ SQL_HYBRID_TOPK = _build_hybrid_sql(
     hybrid_oracle_emb_path(STEMMED_ORACLE_SF_DIR),
     stemmed_oracle_path(STEMMED_ORACLE_SF_DIR),
 )
+
+
+# -------------------------------------------------- tombstone-masked oracle
+# The query-time delete path (operators/tombstones.py — the Lucene
+# live-docs model) under the driver's hash gate: its contract is that a
+# masked query is rank- AND score-identical to a fresh build of the
+# surviving corpus, so the DuckDB twin IS the stemmed chain restricted to
+# the survivors — every statistic (N', avgdl', df', idf', normalize max)
+# recomputed over them, which is exactly what the mask derives
+# arithmetically without touching a block.
+MASKED_DELETE_PRED = "CAST(doc_id AS BIGINT) % 2 = 0"
+
+
+def q_wand_masked_topk(spark, sf_dir) -> DataFrame:
+    """Block-max WAND over the sharded compressed index with a tombstone
+    mask killing every even doc_id (~half the corpus — a mass-takedown
+    shape): the kernels drop masked docnos before scoring, and N'/avgdl'/
+    per-term df' are derived exactly (tombstones.build_mask), so results
+    equal a fresh build over the survivors — which is what the DuckDB twin
+    computes."""
+    from searchengine_spark.operators import shards, tombstones
+    from searchengine_spark.plans.text_only import build_text_only_index
+    from searchengine_spark.plans.wand import WandSearchEngine
+
+    tables = build_text_only_index(spark, _documents(spark, sf_dir))
+    for name in ("docs", "postings", "doc_stats", "term_stats", "stats"):
+        setattr(tables, name, getattr(tables, name).cache())
+    sharded = shards.build_sharded_index(spark, tables, n_shards=8)
+    dead = (
+        _documents(spark, sf_dir)
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(F.col("doc_id").cast("string").alias("doc_id"))
+    )
+    mask = tombstones.build_mask(spark, sharded, dead)
+    engine = WandSearchEngine(spark, sharded, mask=mask)
+    res = engine.search_batch([(0, STEMMED_QUERY)], top_k=10, with_metadata=False)
+    return res.select("rank", "doc_id", F.round("score", 6).alias("score"))
+
+
+def _build_masked_sql(path: str) -> str:
+    from searchengine_spark.config import MIN_SCORE_THRESHOLD
+
+    return f"""WITH {_stemmed_norm_ctes(path, where=f"WHERE NOT ({MASKED_DELETE_PRED})")}
+SELECT CAST(rank AS INTEGER) AS rank, doc_id, ROUND(nscore, 6) AS score FROM (
+  SELECT doc_id, nscore,
+         ROW_NUMBER() OVER (ORDER BY nscore DESC, doc_id ASC) AS rank
+  FROM norm)
+WHERE rank <= 10 AND nscore > {MIN_SCORE_THRESHOLD}
+ORDER BY rank"""
+
+
+SQL_WAND_MASKED_TOPK = _build_masked_sql(stemmed_oracle_path(STEMMED_ORACLE_SF_DIR))
 
 
 # ---------------------------------------------------------------- rows-only (non-SQL) queries
@@ -2475,6 +2533,7 @@ QUERIES = {
     "bm25_stemmed_topk": q_bm25_stemmed_topk,
     "wand_stemmed_topk": q_wand_stemmed_topk,
     "hybrid_topk": q_hybrid_topk,
+    "wand_masked_topk": q_wand_masked_topk,
     "multimodal_features": q_multimodal_features,
     "decontaminate_ngram": q_decontaminate_ngram,
     "pii_scrub": q_pii_scrub,
@@ -2525,6 +2584,9 @@ ORACLE_SQL = {
     # hybrid path: combine twin over the stemmed table + driver-side-
     # materialized embedding vectors (same mechanism, see _build_hybrid_sql)
     "hybrid_topk": SQL_HYBRID_TOPK,
+    # tombstone path: the masked-query contract makes the twin the stemmed
+    # chain over the SURVIVORS (stats recomputed) — see _build_masked_sql
+    "wand_masked_topk": SQL_WAND_MASKED_TOPK,
     # the featurizer's SQL-expressible core + frame counts; only the
     # import-gated real decode (multimodal.decode_media) stays un-oracled
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
