@@ -1905,6 +1905,29 @@ SQL_HYBRID_TOPK = _build_hybrid_sql(
 )
 
 
+# ------------------------------------------------------ segment-merge oracle
+def q_bm25_merged_topk(spark, sf_dir) -> DataFrame:
+    """Segment merge under the hash gate: the corpus is built as TWO
+    disjoint half-segments (even/odd doc_id — the checkpoint-chunk /
+    snapshot-increment shape, operators/merge.py) and logically merged
+    (pure union of postings/docs, df re-summed per term, idf/avgdl
+    recomputed from merged totals); the full-corpus stemmed twin
+    (SQL_BM25_STEMMED_TOPK) must then hash-match — merge ≡ build-from-
+    union checked by an independent engine, not just the pytest
+    associativity property."""
+    from searchengine_spark.operators import merge
+    from searchengine_spark.plans.bm25 import BM25SearchEngine
+    from searchengine_spark.plans.text_only import build_text_only_index
+
+    docs = _documents(spark, sf_dir)
+    seg_a = build_text_only_index(spark, docs.filter(F.col("doc_id") % 2 == 0))
+    seg_b = build_text_only_index(spark, docs.filter(F.col("doc_id") % 2 == 1))
+    tables = merge.merge_index_tables(spark, [seg_a, seg_b])
+    engine = BM25SearchEngine(spark, tables)
+    res = engine.search_batch([(0, STEMMED_QUERY)], top_k=10, with_metadata=False)
+    return res.select("rank", "doc_id", F.round("score", 6).alias("score"))
+
+
 # -------------------------------------------------- tombstone-masked oracle
 # The query-time delete path (operators/tombstones.py — the Lucene
 # live-docs model) under the driver's hash gate: its contract is that a
@@ -2534,6 +2557,7 @@ QUERIES = {
     "wand_stemmed_topk": q_wand_stemmed_topk,
     "hybrid_topk": q_hybrid_topk,
     "wand_masked_topk": q_wand_masked_topk,
+    "bm25_merged_topk": q_bm25_merged_topk,
     "multimodal_features": q_multimodal_features,
     "decontaminate_ngram": q_decontaminate_ngram,
     "pii_scrub": q_pii_scrub,
@@ -2587,6 +2611,9 @@ ORACLE_SQL = {
     # tombstone path: the masked-query contract makes the twin the stemmed
     # chain over the SURVIVORS (stats recomputed) — see _build_masked_sql
     "wand_masked_topk": SQL_WAND_MASKED_TOPK,
+    # merge path: merged segments must equal the full-corpus build, so the
+    # twin IS the full-corpus stemmed oracle
+    "bm25_merged_topk": SQL_BM25_STEMMED_TOPK,
     # the featurizer's SQL-expressible core + frame counts; only the
     # import-gated real decode (multimodal.decode_media) stays un-oracled
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
