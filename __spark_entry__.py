@@ -71,7 +71,9 @@ def oracle_sql() -> dict[str, str]:
         out.pop("bm25_stemmed_topk", None)
         out.pop("wand_stemmed_topk", None)
         out.pop("wand_masked_topk", None)
+        out.pop("wand_compacted_topk", None)
         out.pop("bm25_merged_topk", None)
+        out.pop("bm25_serving", None)
         out.pop("hybrid_topk", None)
     # Same mechanism for the hybrid combine twin's embedding vectors
     # (engine's own pure encoder, driver-side; see plans/entry_queries.py).

@@ -1674,13 +1674,23 @@ def materialize_stemmed_oracle_table(sf_dir: str) -> str:
     doc_ids = [str(x) for x in src.column("doc_id").to_pylist()]
     texts = src.column("text").to_pylist()
     toks = [textproc.tokenize_filtered(t or "") for t in texts]
+    snippets = [textproc.make_snippet(t or "") for t in texts]
+    # query-relevant snippet for STEMMED_QUERY (T9/T10 twin): the same
+    # pure windowing function the engine's metadata-tail Arrow UDF runs
+    # (plans/bm25.attach_result_metadata), precomputed per doc so the
+    # serving-row oracle (SQL_BM25_SERVING) is a plain column read
+    from searchengine_spark.plans.bm25 import analyze_query
+
+    orig_tokens = (analyze_query(STEMMED_QUERY) or (None, [], None))[1]
     out = pa.table(
         {
             "doc_id": pa.array(doc_ids, pa.string()),
             "toks": pa.array(toks, pa.list_(pa.string())),
             "doc_len": pa.array([len(t) for t in toks], pa.int64()),
-            "snippet": pa.array(
-                [textproc.make_snippet(t or "") for t in texts], pa.string()
+            "snippet": pa.array(snippets, pa.string()),
+            "rel_snippet": pa.array(
+                [textproc.relevant_snippet(s, orig_tokens) for s in snippets],
+                pa.string(),
             ),
         }
     )
@@ -1905,6 +1915,50 @@ SQL_HYBRID_TOPK = _build_hybrid_sql(
 )
 
 
+# ------------------------------------------------------- serving-row oracle
+def q_bm25_serving(spark, sf_dir) -> DataFrame:
+    """The full serving row (Q6–Q8 projection + T9/T10 query-relevant
+    snippet, indexer.py:344-374): search_batch WITH metadata — top-k join
+    back to the docs dimension, snippet windowed around the query terms by
+    the Arrow UDF over the k result rows only. The twin reads the same
+    pure windowing function's output from the stemmed materialization
+    (rel_snippet) and rebuilds url/rank/score in SQL."""
+    from searchengine_spark.plans.bm25 import BM25SearchEngine
+    from searchengine_spark.plans.text_only import build_text_only_index
+
+    tables = build_text_only_index(spark, _documents(spark, sf_dir))
+    engine = BM25SearchEngine(spark, tables)
+    res = engine.search_batch([(0, STEMMED_QUERY)], top_k=10)
+    return res.select(
+        "rank",
+        "doc_id",
+        "url",
+        F.col("content_snippet").alias("snippet"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _build_serving_sql(path: str) -> str:
+    from searchengine_spark.config import MIN_SCORE_THRESHOLD
+
+    return f"""WITH {_stemmed_norm_ctes(path)},
+snip AS (SELECT doc_id, rel_snippet FROM read_parquet('{path}')),
+ranked AS (
+  SELECT doc_id, nscore,
+         ROW_NUMBER() OVER (ORDER BY nscore DESC, doc_id ASC) AS rank
+  FROM norm)
+SELECT CAST(rank AS INTEGER) AS rank, doc_id,
+       'doc://' || doc_id AS url,
+       rel_snippet AS snippet,
+       ROUND(nscore, 6) AS score
+FROM ranked JOIN snip USING (doc_id)
+WHERE rank <= 10 AND nscore > {MIN_SCORE_THRESHOLD}
+ORDER BY rank"""
+
+
+SQL_BM25_SERVING = _build_serving_sql(stemmed_oracle_path(STEMMED_ORACLE_SF_DIR))
+
+
 # ------------------------------------------------------ segment-merge oracle
 def q_bm25_merged_topk(spark, sf_dir) -> DataFrame:
     """Segment merge under the hash gate: the corpus is built as TWO
@@ -1978,6 +2032,32 @@ ORDER BY rank"""
 
 
 SQL_WAND_MASKED_TOPK = _build_masked_sql(stemmed_oracle_path(STEMMED_ORACLE_SF_DIR))
+
+
+def q_wand_compacted_topk(spark, sf_dir) -> DataFrame:
+    """The compaction rewrite (operators/merge.apply_tombstones — selective
+    per-block decode/re-encode, stats recomputed exactly) under the gate:
+    querying the compacted index must be rank- and score-identical to a
+    fresh build over the survivors, i.e. the SAME twin as the query-time
+    mask (SQL_WAND_MASKED_TOPK) — delete-by-mask, delete-by-rewrite and an
+    independent SQL engine all agree on one answer."""
+    from searchengine_spark.operators import merge, shards
+    from searchengine_spark.plans.text_only import build_text_only_index
+    from searchengine_spark.plans.wand import WandSearchEngine
+
+    tables = build_text_only_index(spark, _documents(spark, sf_dir))
+    for name in ("docs", "postings", "doc_stats", "term_stats", "stats"):
+        setattr(tables, name, getattr(tables, name).cache())
+    sharded = shards.build_sharded_index(spark, tables, n_shards=8)
+    dead = (
+        _documents(spark, sf_dir)
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(F.col("doc_id").cast("string").alias("doc_id"))
+    )
+    compacted = merge.apply_tombstones(spark, sharded, dead)
+    engine = WandSearchEngine(spark, compacted)
+    res = engine.search_batch([(0, STEMMED_QUERY)], top_k=10, with_metadata=False)
+    return res.select("rank", "doc_id", F.round("score", 6).alias("score"))
 
 
 # ---------------------------------------------------------------- rows-only (non-SQL) queries
@@ -2558,6 +2638,8 @@ QUERIES = {
     "hybrid_topk": q_hybrid_topk,
     "wand_masked_topk": q_wand_masked_topk,
     "bm25_merged_topk": q_bm25_merged_topk,
+    "bm25_serving": q_bm25_serving,
+    "wand_compacted_topk": q_wand_compacted_topk,
     "multimodal_features": q_multimodal_features,
     "decontaminate_ngram": q_decontaminate_ngram,
     "pii_scrub": q_pii_scrub,
@@ -2614,6 +2696,12 @@ ORACLE_SQL = {
     # merge path: merged segments must equal the full-corpus build, so the
     # twin IS the full-corpus stemmed oracle
     "bm25_merged_topk": SQL_BM25_STEMMED_TOPK,
+    # serving row: metadata + T9/T10 query-relevant snippet (rel_snippet
+    # precomputed by the stemmed materializer with the engine's own pure fn)
+    "bm25_serving": SQL_BM25_SERVING,
+    # compaction path: delete-by-rewrite must equal delete-by-mask must
+    # equal a fresh build over the survivors — one twin for all three
+    "wand_compacted_topk": SQL_WAND_MASKED_TOPK,
     # the featurizer's SQL-expressible core + frame counts; only the
     # import-gated real decode (multimodal.decode_media) stays un-oracled
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
