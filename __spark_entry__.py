@@ -65,9 +65,18 @@ def oracle_sql() -> dict[str, str]:
     # The stemmed-path oracle reads a parquet of Porter-stemmed token arrays
     # produced driver-side with the engine's own pure functions; build it
     # now so the SQL is runnable regardless of query/oracle execution order.
+    # Degrading to rows-only is ONLY legitimate when the sf0.01 testdata
+    # itself is absent (e.g. a bare checkout without /root/testdata); a
+    # failure with the testdata present is a code bug in the materializer
+    # and must surface, not silently remove the hash gate.
+    testdata_present = os.path.exists(
+        os.path.join(STEMMED_ORACLE_SF_DIR, "documents.parquet")
+    )
     try:
         materialize_stemmed_oracle_table(STEMMED_ORACLE_SF_DIR)
-    except Exception:  # testdata missing: degrade to rows-only, don't break
+    except Exception:
+        if testdata_present:
+            raise
         out.pop("bm25_stemmed_topk", None)
         out.pop("wand_stemmed_topk", None)
         out.pop("wand_masked_topk", None)
@@ -80,5 +89,7 @@ def oracle_sql() -> dict[str, str]:
     try:
         materialize_hybrid_oracle_embeddings(STEMMED_ORACLE_SF_DIR)
     except Exception:
+        if testdata_present:
+            raise
         out.pop("hybrid_topk", None)
     return out

@@ -147,6 +147,15 @@ def run_bench(cpus: int = CPUS, n_docs: int = N_DOCS, sf_dir: str = SF_DIR) -> d
         for i in range(10)
         for qid, text in webgen.reference_queries()
     ]
+    # The metric keys below are frozen to "..._210..." because BASELINE.md
+    # and BENCH_r{1..4}.json key on them for cross-round comparison; if the
+    # reference query set ever changes size, fail loudly here rather than
+    # let a stale name report a silently different batch.
+    assert len(big) == 210, (
+        f"reference query batch changed size ({len(big)} != 210); "
+        "rename query_batch_210_wand / wand_ms_per_query_at_210 and "
+        "re-baseline before benching"
+    )
     t0 = time.time()
     n_big = len(
         WandSearchEngine(spark, sharded).search_batch(big, top_k=10).collect()

@@ -1993,16 +1993,14 @@ def q_bm25_merged_topk(spark, sf_dir) -> DataFrame:
 MASKED_DELETE_PRED = "CAST(doc_id AS BIGINT) % 2 = 0"
 
 
-def q_wand_masked_topk(spark, sf_dir) -> DataFrame:
-    """Block-max WAND over the sharded compressed index with a tombstone
-    mask killing every even doc_id (~half the corpus — a mass-takedown
-    shape): the kernels drop masked docnos before scoring, and N'/avgdl'/
-    per-term df' are derived exactly (tombstones.build_mask), so results
-    equal a fresh build over the survivors — which is what the DuckDB twin
-    computes."""
-    from searchengine_spark.operators import shards, tombstones
+def _sharded_index_and_dead_set(spark, sf_dir):
+    """Shared setup for the two delete-path oracle rows (mask vs rewrite):
+    one sharded compressed index over the text-only corpus plus the
+    even-doc_id dead set (the SQL mirror of MASKED_DELETE_PRED).  Both
+    rows MUST build from identical inputs — they share one DuckDB twin
+    (SQL_WAND_MASKED_TOPK), so any drift here would desynchronize them."""
+    from searchengine_spark.operators import shards
     from searchengine_spark.plans.text_only import build_text_only_index
-    from searchengine_spark.plans.wand import WandSearchEngine
 
     tables = build_text_only_index(spark, _documents(spark, sf_dir))
     for name in ("docs", "postings", "doc_stats", "term_stats", "stats"):
@@ -2013,6 +2011,20 @@ def q_wand_masked_topk(spark, sf_dir) -> DataFrame:
         .filter(F.col("doc_id") % 2 == 0)
         .select(F.col("doc_id").cast("string").alias("doc_id"))
     )
+    return sharded, dead
+
+
+def q_wand_masked_topk(spark, sf_dir) -> DataFrame:
+    """Block-max WAND over the sharded compressed index with a tombstone
+    mask killing every even doc_id (~half the corpus — a mass-takedown
+    shape): the kernels drop masked docnos before scoring, and N'/avgdl'/
+    per-term df' are derived exactly (tombstones.build_mask), so results
+    equal a fresh build over the survivors — which is what the DuckDB twin
+    computes."""
+    from searchengine_spark.operators import tombstones
+    from searchengine_spark.plans.wand import WandSearchEngine
+
+    sharded, dead = _sharded_index_and_dead_set(spark, sf_dir)
     mask = tombstones.build_mask(spark, sharded, dead)
     engine = WandSearchEngine(spark, sharded, mask=mask)
     res = engine.search_batch([(0, STEMMED_QUERY)], top_k=10, with_metadata=False)
@@ -2041,19 +2053,10 @@ def q_wand_compacted_topk(spark, sf_dir) -> DataFrame:
     fresh build over the survivors, i.e. the SAME twin as the query-time
     mask (SQL_WAND_MASKED_TOPK) — delete-by-mask, delete-by-rewrite and an
     independent SQL engine all agree on one answer."""
-    from searchengine_spark.operators import merge, shards
-    from searchengine_spark.plans.text_only import build_text_only_index
+    from searchengine_spark.operators import merge
     from searchengine_spark.plans.wand import WandSearchEngine
 
-    tables = build_text_only_index(spark, _documents(spark, sf_dir))
-    for name in ("docs", "postings", "doc_stats", "term_stats", "stats"):
-        setattr(tables, name, getattr(tables, name).cache())
-    sharded = shards.build_sharded_index(spark, tables, n_shards=8)
-    dead = (
-        _documents(spark, sf_dir)
-        .filter(F.col("doc_id") % 2 == 0)
-        .select(F.col("doc_id").cast("string").alias("doc_id"))
-    )
+    sharded, dead = _sharded_index_and_dead_set(spark, sf_dir)
     compacted = merge.apply_tombstones(spark, sharded, dead)
     engine = WandSearchEngine(spark, compacted)
     res = engine.search_batch([(0, STEMMED_QUERY)], top_k=10, with_metadata=False)

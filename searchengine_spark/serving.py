@@ -186,8 +186,17 @@ class SearchService:
         self.engine = engine
         self.search_mode = search_mode
         # optional plans.hybrid.HybridSearchEngine for ?mode=hybrid
-        # (Q10, optimized_indexer.py:119-203); None → 400 on that arm
+        # (Q10, optimized_indexer.py:119-203); None → 400 on that arm.
+        # The engine's embeddings frame is a lazy mapInPandas encode pass
+        # over the whole corpus — without a persist, EVERY hybrid request
+        # would re-encode every document inside the crossJoin scan.  The
+        # service owns the request loop, so it owns the materialization:
+        # cache once at construction (mirrors the reference, which loads
+        # the FAISS index into memory once at app startup,
+        # bert_embeddings.py:188-205).
         self.hybrid = hybrid
+        if hybrid is not None and not hybrid.embeddings.is_cached:
+            hybrid.embeddings = hybrid.embeddings.cache()
         self.batcher = (
             _MicroBatcher(engine, batch_window_ms) if batch_window_ms > 0 else None
         )

@@ -121,9 +121,13 @@ def _session_fn_factory(gap_sec: int, use_timeout: bool):
                     # late rows before applyInPandasWithState) must not
                     # rewind t_last — keep t_end monotone so the next
                     # on-time event's gap is measured against the true
-                    # latest event time.  The late-event caveat in the
-                    # module docstring then covers attribution only.
-                    tl, n, sv = max(tl, t), n + 1, sv + float(v)
+                    # latest event time — and symmetrically must pull
+                    # t_start back if it precedes the session's first seen
+                    # event, so (t_start, t_end) match what the batch
+                    # sessionizer computes over the same rows.  The
+                    # late-event caveat in the module docstring then covers
+                    # attribution only.
+                    ts, tl, n, sv = min(ts, t), max(tl, t), n + 1, sv + float(v)
         if sn is not None:
             deadline_ms = (tl + gap_sec) * 1000
             if use_timeout and deadline_ms <= state.getCurrentWatermarkMs():

@@ -274,6 +274,31 @@ def test_late_event_does_not_rewind_t_end(spark, tmp_path):
     assert got == {(9, 1): batch[(9, 1)]}, (got, batch)
 
 
+def test_late_event_pulls_t_start_back(spark, tmp_path):
+    """The symmetric half of the late-event fix: a late event EARLIER than
+    the open session's first seen event must pull t_start back (min), so
+    (t_start, t_end) match the batch sessionizer over the same rows.
+    Regression: t_start stayed at the first-arrived event's time, so the
+    emitted session claimed t_start later than an event it contained."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # open session at +100 (t_start = t_last = +100)
+    _write_file(str(in_dir / "f0.parquet"), [(1, 9, BASE + 100, 1.0)])
+    # LATE event at +40 — inside gap range of the open session but BEFORE
+    # its current t_start: must fold in AND rewind t_start to +40
+    _write_file(str(in_dir / "f1.parquet"), [(2, 9, BASE + 40, 2.0)])
+    # far-future event opens session 2, closing session 1 for emission
+    _write_file(str(in_dir / "f2.parquet"),
+                [(3, 9, BASE + 100 + GAP * 3, 0.5)])
+    got = _run(spark, str(in_dir), str(tmp_path / "w"), watermark_delay=None)
+    rows = [(1, 9, BASE + 100, 1.0), (2, 9, BASE + 40, 2.0),
+            (3, 9, BASE + 100 + GAP * 3, 0.5)]
+    batch = _batch_sessions(rows)
+    assert got == {(9, 1): batch[(9, 1)]}, (got, batch)
+    # the closed session must start at the late event's time
+    assert got[(9, 1)][1] == BASE + 40  # (n_events, t_start, t_end, sum)
+
+
 def test_hot_user_state_stays_o1_and_output_exact(spark, tmp_path):
     """A single user emitting thousands of events across many sessions
     must not grow state (one fixed-width row) and must sessionize
