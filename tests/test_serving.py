@@ -265,8 +265,13 @@ def test_hybrid_mode_serves_combine_results(spark, service):
 
     tables = service.engine.tables
     hybrid = HybridSearchEngine(spark, tables)
-    hybrid.embeddings = hybrid.embeddings.cache()
+    # deliberately NOT caching here: SearchService must materialize the
+    # embeddings frame itself at construction (one corpus encode per
+    # service, not one per request)
     svc = serving.SearchService(spark, service.engine, hybrid=hybrid)
+    assert hybrid.embeddings.is_cached, (
+        "SearchService must cache the hybrid embeddings at construction"
+    )
     srv = serving.serve(svc, port=0)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
