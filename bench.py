@@ -231,8 +231,23 @@ def run_scaling(n_docs: int = SCALING_DOCS) -> dict:
                 [sys.executable, os.path.abspath(__file__)],
                 capture_output=True, text=True, env=env, cwd=REPO,
             )
-            line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-            res = json.loads(line)
+            # same crash-surfacing contract as run_query_scaling: a failed
+            # arm must raise with its stderr, not die on [-1] of an empty
+            # stdout list
+            if proc.returncode != 0:
+                raise RuntimeError(
+                    f"scaling arm local[{cpus}] exited {proc.returncode}; "
+                    f"stderr tail:\n" + proc.stderr[-2000:]
+                )
+            json_lines = [
+                l for l in proc.stdout.strip().splitlines() if l.startswith("{")
+            ]
+            if not json_lines:
+                raise RuntimeError(
+                    f"scaling arm local[{cpus}] produced no JSON line; "
+                    f"stderr tail:\n" + proc.stderr[-2000:]
+                )
+            res = json.loads(json_lines[-1])
             if cpus not in best or res["docs_per_sec"] > best[cpus]["docs_per_sec"]:
                 best[cpus] = res
     dps_lo = best[lo]["docs_per_sec"]
