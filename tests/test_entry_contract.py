@@ -71,3 +71,28 @@ def test_entry_smoke(spark):
     assert len(rows) >= 0
     assert df.columns == ["query_id", "rank", "doc_id", "url", "content_snippet", "score"]
     assert all(0.05 < r["score"] <= 1.0 for r in rows)
+
+
+def test_oracle_sql_fails_loudly_when_materializer_breaks(monkeypatch, tmp_path):
+    """The degrade-to-rows-only convention covers EXACTLY one case: the
+    sf0.01 testdata is absent. A materializer failure with the testdata
+    present is a code bug and must raise — silently popping the stemmed /
+    hybrid keys would remove the driver's hash gate on the very paths it
+    exists to check."""
+    from searchengine_spark.plans import entry_queries as eq
+
+    def boom(sf_dir):
+        raise RuntimeError("simulated materializer bug")
+
+    monkeypatch.setattr(eq, "materialize_stemmed_oracle_table", boom)
+    # testdata present (the real driver environment) → must raise
+    with pytest.raises(RuntimeError, match="simulated materializer bug"):
+        entrymod.oracle_sql()
+    # testdata absent (bare checkout) → degrade: stemmed-path keys popped,
+    # the rest of the gate intact
+    monkeypatch.setattr(
+        eq, "STEMMED_ORACLE_SF_DIR", str(tmp_path / "nope")
+    )
+    out = entrymod.oracle_sql()
+    assert "bm25_stemmed_topk" not in out and "hybrid_topk" not in out
+    assert "bm25_topk" in out and len(out) > 30
