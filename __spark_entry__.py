@@ -79,6 +79,7 @@ def oracle_sql() -> dict[str, str]:
             raise
         out.pop("bm25_stemmed_topk", None)
         out.pop("wand_stemmed_topk", None)
+        out.pop("wand_subsplit_topk", None)
         out.pop("wand_masked_topk", None)
         out.pop("wand_compacted_topk", None)
         out.pop("bm25_merged_topk", None)

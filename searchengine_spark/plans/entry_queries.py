@@ -2095,6 +2095,27 @@ def q_wand_stemmed_topk(spark, sf_dir) -> DataFrame:
     return res.select("rank", "doc_id", F.round("score", 6).alias("score"))
 
 
+def q_wand_subsplit_topk(spark, sf_dir) -> DataFrame:
+    """q_wand_stemmed_topk with the phase-1 docno sub-range split FORCED on
+    (sub_split=3) rather than left to the auto policy, so the round-5
+    sub-split kernel (plans/wand.py `_sub_split`, the [V1] decoupling of
+    kernel parallelism from shard count) is deterministically exercised
+    under the driver's DuckDB hash gate regardless of the driver host's
+    core count. Exact top-k must be unchanged: the twin is the SAME
+    stemmed-table oracle as wand_stemmed_topk."""
+    from searchengine_spark.operators import shards
+    from searchengine_spark.plans.text_only import build_text_only_index
+    from searchengine_spark.plans.wand import WandSearchEngine
+
+    tables = build_text_only_index(spark, _documents(spark, sf_dir))
+    for name in ("docs", "postings", "doc_stats", "term_stats", "stats"):
+        setattr(tables, name, getattr(tables, name).cache())
+    sharded = shards.build_sharded_index(spark, tables, n_shards=8)
+    engine = WandSearchEngine(spark, sharded, sub_split=3)
+    res = engine.search_batch([(0, STEMMED_QUERY)], top_k=10, with_metadata=False)
+    return res.select("rank", "doc_id", F.round("score", 6).alias("score"))
+
+
 def q_multimodal_features(spark, sf_dir) -> DataFrame:
     """Multimodal plumbing over a deterministic synthetic media table
     (binary column + typed metadata), end to end under the DuckDB hash
@@ -2638,6 +2659,7 @@ QUERIES = {
     "window_cooccur": q_window_cooccur,
     "bm25_stemmed_topk": q_bm25_stemmed_topk,
     "wand_stemmed_topk": q_wand_stemmed_topk,
+    "wand_subsplit_topk": q_wand_subsplit_topk,
     "hybrid_topk": q_hybrid_topk,
     "wand_masked_topk": q_wand_masked_topk,
     "bm25_merged_topk": q_bm25_merged_topk,
@@ -2690,6 +2712,9 @@ ORACLE_SQL = {
     # table (__spark_entry__.oracle_sql() runs the materializer first)
     "bm25_stemmed_topk": SQL_BM25_STEMMED_TOPK,
     "wand_stemmed_topk": SQL_WAND_STEMMED_TOPK,
+    # forced-sub-split path: exact top-k is contractually unchanged, so the
+    # twin IS the wand_stemmed oracle (see q_wand_subsplit_topk docstring)
+    "wand_subsplit_topk": SQL_WAND_STEMMED_TOPK,
     # hybrid path: combine twin over the stemmed table + driver-side-
     # materialized embedding vectors (same mechanism, see _build_hybrid_sql)
     "hybrid_topk": SQL_HYBRID_TOPK,
