@@ -1,0 +1,336 @@
+"""Common-Crawl-style WARC source → the engine's canonical input table.
+
+The reference acquires pages by live HTTP fetch
+(``search_engine/crawler/crawler.py:266``, ``query_crawler.py:149``); at
+10^12-document scale the same content arrives at rest as WARC/1.0
+(ISO 28500) container files — the format Common Crawl publishes. This
+module reads those containers into the ``input_hint`` table shape
+``(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)``
+so everything downstream (extraction T2, tokenize T6, index build A1-A6)
+is source-agnostic.
+
+Scale design
+------------
+``spark.read.format("binaryFile")`` yields ONE row per WARC file and never
+splits a file, so the task grain is the file — exactly how Common Crawl is
+sharded (~1 GB segments, ~64k files per crawl), and the natural unit for a
+1000-executor scan. The parse is a single ``mapInPandas`` Arrow pass: no
+shuffle anywhere (asserted in tests/test_warc.py). Memory per task is
+bounded by (compressed file bytes) + O(largest single record): the
+Common-Crawl layout gzips each record as its own gzip member, and the
+reader decompresses member-by-member, yielding each record as soon as its
+bytes are complete and discarding consumed buffer — it never materializes
+the whole decompressed file.
+
+Text extraction (the ``text`` column) reuses the engine's own T2 kernel
+(``functions/textproc.extract_text_from_html``) inside the same Arrow
+pass, preserving the per-row byte-identity invariant; pass
+``extract_text=False`` to defer it (column comes back NULL) when a
+downstream stage owns extraction.
+
+Fail-loud contract: a malformed container (bad version line, missing
+Content-Length, truncated body) raises with the file offset — a silent
+skip would undercount the corpus invisibly. Records that are well-formed
+but not page-bearing (warcinfo / request / metadata / revisit) are
+skipped by design, mirroring the reference keeping only 200-responses.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import gzip
+import hashlib
+import io
+import zlib
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+_CRLF = b"\r\n"
+_HDR_END = b"\r\n\r\n"
+# WARC record types that carry a page payload we surface. `resource` is the
+# no-HTTP-envelope variant (payload is the document itself).
+_PAGE_TYPES = {b"response", b"resource"}
+
+
+class WarcFormatError(ValueError):
+    """Malformed WARC container — parse position included for triage."""
+
+
+# --------------------------------------------------------------------- parse
+def _parse_headers(block: bytes, pos: int) -> dict[bytes, bytes]:
+    """Parse a WARC (or HTTP) header block — the bytes BETWEEN the first
+    line and the blank line. Names lower-cased (field names are
+    case-insensitive per RFC 9110 §5.1, which ISO 28500 §4 adopts);
+    continuation lines (obsolete folding) are appended with one space."""
+    headers: dict[bytes, bytes] = {}
+    last: bytes | None = None
+    for line in block.split(_CRLF):
+        if not line:
+            continue
+        if line[:1] in (b" ", b"\t"):
+            if last is None:
+                raise WarcFormatError(f"header continuation before any header at byte {pos}")
+            headers[last] += b" " + line.strip()
+            continue
+        name, sep, value = line.partition(b":")
+        if not sep:
+            raise WarcFormatError(f"malformed header line {line[:60]!r} at byte {pos}")
+        last = name.strip().lower()
+        headers[last] = value.strip()
+    return headers
+
+
+def _iter_plain_records(buf: bytes, base_pos: int = 0) -> Iterator[tuple[dict, bytes]]:
+    """Yield (warc_headers, body_bytes) from an UNCOMPRESSED WARC byte
+    buffer. Raises WarcFormatError on truncation or a bad magic line."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        # tolerate inter-record padding newlines
+        while pos < n and buf[pos : pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            return
+        if not buf.startswith(b"WARC/", pos):
+            raise WarcFormatError(
+                f"expected WARC/ version line at byte {base_pos + pos}, "
+                f"got {buf[pos : pos + 20]!r}"
+            )
+        hdr_end = buf.find(_HDR_END, pos)
+        if hdr_end < 0:
+            raise WarcFormatError(f"unterminated WARC header block at byte {base_pos + pos}")
+        first_nl = buf.index(_CRLF, pos)
+        headers = _parse_headers(buf[first_nl + 2 : hdr_end], base_pos + pos)
+        if b"content-length" not in headers:
+            raise WarcFormatError(f"record at byte {base_pos + pos} has no Content-Length")
+        clen = int(headers[b"content-length"])
+        body_start = hdr_end + len(_HDR_END)
+        if body_start + clen > n:
+            raise WarcFormatError(
+                f"record at byte {base_pos + pos} truncated: Content-Length {clen} "
+                f"but only {n - body_start} bytes remain"
+            )
+        yield headers, buf[body_start : body_start + clen]
+        pos = body_start + clen
+
+
+def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
+    """Yield (warc_headers, body) from WARC container bytes — plain or
+    gzipped. The Common-Crawl layout (one gzip member per record) is
+    decompressed member-by-member with bounded memory: each member's
+    plaintext is parsed and released before the next member is inflated."""
+    if data[:2] != b"\x1f\x8b":
+        yield from _iter_plain_records(data)
+        return
+    pos = 0
+    pending = b""  # plaintext bytes not yet forming a complete record
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=47)  # 32+15: gzip wrapper, one member
+        try:
+            chunk = d.decompress(data[pos:])
+        except zlib.error as e:
+            raise WarcFormatError(f"gzip member at byte {pos} is corrupt: {e}") from e
+        consumed = len(data) - pos - len(d.unused_data)
+        if not d.eof:
+            raise WarcFormatError(f"gzip member at byte {pos} is truncated")
+        pos += consumed
+        pending += chunk
+        # a member boundary is a record boundary in the CC layout, but a
+        # single-member gzip of a whole multi-record file is also legal —
+        # drain every COMPLETE record, keep the tail for the next member
+        drained = 0
+        for headers, body, consumed in _drain_complete(pending):
+            yield headers, body
+            drained = consumed
+        if drained:
+            pending = pending[drained:]
+    if pending.strip(b"\r\n"):
+        raise WarcFormatError(
+            f"{len(pending)} plaintext bytes of an incomplete record at end of container"
+        )
+
+
+def _drain_complete(buf: bytes) -> Iterator[tuple[dict, bytes, int]]:
+    """Like _iter_plain_records but stops SILENTLY at an incomplete tail
+    record (more members may complete it); yields (headers, body,
+    buffer offset consumed through this record)."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        while pos < n and buf[pos : pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            return
+        if not buf.startswith(b"WARC/", pos):
+            raise WarcFormatError(
+                f"expected WARC/ version line at plaintext byte {pos}, "
+                f"got {buf[pos : pos + 20]!r}"
+            )
+        hdr_end = buf.find(_HDR_END, pos)
+        if hdr_end < 0:
+            return  # header itself incomplete — wait for more members
+        first_nl = buf.index(_CRLF, pos)
+        headers = _parse_headers(buf[first_nl + 2 : hdr_end], pos)
+        if b"content-length" not in headers:
+            raise WarcFormatError(f"record at plaintext byte {pos} has no Content-Length")
+        clen = int(headers[b"content-length"])
+        body_start = hdr_end + len(_HDR_END)
+        if body_start + clen > n:
+            return  # body incomplete — wait for more members
+        yield headers, buf[body_start : body_start + clen], body_start + clen
+        pos = body_start + clen
+
+
+def _http_payload(body: bytes) -> bytes:
+    """Strip the HTTP response envelope from a `response` record body; a
+    body with no envelope (resource records, non-HTTP schemes) passes
+    through whole."""
+    if not body.startswith(b"HTTP/"):
+        return body
+    sep = body.find(_HDR_END)
+    if sep < 0:
+        raise WarcFormatError("HTTP response block has headers but no blank-line terminator")
+    return body[sep + len(_HDR_END) :]
+
+
+def _parse_warc_date(raw: bytes) -> dt.datetime:
+    """WARC-Date is ISO 8601 UTC (`2026-08-20T12:00:00Z`); returned naive
+    because the engine pins spark.sql.session.timeZone=UTC (session.py)."""
+    s = raw.decode("ascii").strip()
+    if s.endswith("Z"):
+        s = s[:-1] + "+00:00"
+    d = dt.datetime.fromisoformat(s)
+    return d.astimezone(dt.timezone.utc).replace(tzinfo=None)
+
+
+def parse_warc_pages(data: bytes, extract_text: bool = True) -> pd.DataFrame:
+    """WARC container bytes → pandas frame in PAGES_SCHEMA order. Only
+    page-bearing records (response/resource) produce rows. `lang` comes
+    from WARC-Identified-Content-Language (present in Common Crawl since
+    CC-MAIN-2018-39; first tag wins when multi-valued), else NULL."""
+    from searchengine_spark.functions.textproc import extract_text_from_html
+
+    urls: list[str] = []
+    tss: list[dt.datetime] = []
+    htmls: list[bytes] = []
+    texts: list[str | None] = []
+    langs: list[str | None] = []
+    for headers, body in iter_warc_records(data):
+        if headers.get(b"warc-type", b"") not in _PAGE_TYPES:
+            continue
+        uri = headers.get(b"warc-target-uri")
+        date = headers.get(b"warc-date")
+        if uri is None or date is None:
+            raise WarcFormatError(
+                "page record missing WARC-Target-URI or WARC-Date "
+                f"(headers: {sorted(headers)[:8]})"
+            )
+        payload = _http_payload(body)
+        lang_raw = headers.get(b"warc-identified-content-language")
+        urls.append(uri.decode("utf-8", "replace").strip("<>"))
+        tss.append(_parse_warc_date(date))
+        htmls.append(payload)
+        texts.append(
+            extract_text_from_html(payload.decode("utf-8", "replace"))
+            if extract_text
+            else None
+        )
+        langs.append(
+            lang_raw.decode("ascii", "replace").split(",")[0].strip() if lang_raw else None
+        )
+    return pd.DataFrame(
+        {"url": urls, "warc_ts": tss, "html": htmls, "text": texts, "lang": langs},
+        columns=["url", "warc_ts", "html", "text", "lang"],
+    )
+
+
+def read_warc(spark: SparkSession, path: str, extract_text: bool = True) -> DataFrame:
+    """Directory/glob of ``.warc`` / ``.warc.gz`` files → input table.
+    One binaryFile row per container, one Arrow parse pass, zero shuffle."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob in pdf["content"]:
+                yield parse_warc_pages(bytes(blob), extract_text=extract_text)
+
+    return files.mapInPandas(run, PAGES_SCHEMA)
+
+
+# --------------------------------------------------------------------- write
+def warc_record_bytes(
+    url: str,
+    ts: dt.datetime,
+    html: bytes,
+    lang: str | None = None,
+    http_envelope: bool = True,
+) -> bytes:
+    """One WARC/1.0 response record (deterministic: the record id is
+    urn:md5 of url+date, no UUIDs — test fixtures must be byte-stable).
+    Naive ``ts`` is taken as UTC (the engine's session timezone); aware
+    ``ts`` is converted before the Z-suffixed format is stamped."""
+    if ts.tzinfo is not None:
+        ts = ts.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    date = ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode()
+    if http_envelope:
+        body = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n"
+            + b"Content-Length: " + str(len(html)).encode() + _HDR_END
+            + html
+        )
+        ctype = b"application/http; msgtype=response"
+        wtype = b"response"
+    else:
+        body = html
+        ctype = b"text/html"
+        wtype = b"resource"
+    rid = hashlib.md5(url.encode() + date).hexdigest()
+    headers = [
+        b"WARC/1.0",
+        b"WARC-Type: " + wtype,
+        b"WARC-Record-ID: <urn:md5:" + rid.encode() + b">",
+        b"WARC-Date: " + date,
+        b"WARC-Target-URI: " + url.encode(),
+        b"Content-Type: " + ctype,
+        b"Content-Length: " + str(len(body)).encode(),
+    ]
+    if lang is not None:
+        headers.insert(5, b"WARC-Identified-Content-Language: " + lang.encode())
+    return _CRLF.join(headers) + _HDR_END + body + _HDR_END
+
+
+def write_warc_bytes(
+    pages: Iterable[dict], gzip_per_record: bool = True, mtime: int = 0
+) -> bytes:
+    """Rows (dicts with url/warc_ts/html/lang) → one WARC container.
+    ``gzip_per_record=True`` is the Common-Crawl layout (one gzip member
+    per record); mtime pinned so output is byte-deterministic."""
+    out = io.BytesIO()
+    for page in pages:
+        rec = warc_record_bytes(
+            page["url"], page["warc_ts"], bytes(page["html"]), page.get("lang")
+        )
+        if gzip_per_record:
+            out.write(gzip.compress(rec, mtime=mtime))
+        else:
+            out.write(rec)
+    return out.getvalue()

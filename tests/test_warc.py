@@ -1,0 +1,170 @@
+"""WARC source (sources/warc.py): round-trip byte identity with the
+synthetic corpus generator, Common-Crawl per-record-gzip layout, member
+boundary handling, record-type filtering, fail-loud malformed-container
+contract, and the map-only (zero-shuffle) plan property."""
+
+import datetime as dt
+import gzip
+import os
+
+import pytest
+
+from searchengine_spark.sources import warc, webgen
+
+
+def _pages(n=12):
+    pdf = webgen.generate_pandas(n)
+    rows = pdf.to_dict("records")
+    for r in rows:  # normalize to naive UTC — what Spark (session tz UTC) returns
+        ts = r["warc_ts"].to_pydatetime()
+        if ts.tzinfo is not None:
+            ts = ts.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        r["warc_ts"] = ts
+    return rows
+
+
+def _write(tmp_path, name, data: bytes) -> str:
+    p = tmp_path / name
+    p.write_bytes(data)
+    return str(p)
+
+
+@pytest.mark.parametrize("gz", [False, True], ids=["plain", "cc-gzip"])
+def test_roundtrip_byte_identity(spark, tmp_path, gz):
+    """webgen rows → WARC container → read_warc must reproduce url,
+    warc_ts, the html bytes EXACTLY, lang, and the T2-extracted text
+    (same kernel both sides — the input_hint per-row invariant)."""
+    pages = _pages()
+    path = _write(tmp_path, "rt.warc.gz" if gz else "rt.warc",
+                  warc.write_warc_bytes(pages, gzip_per_record=gz))
+    got = {r["url"]: r for r in warc.read_warc(spark, path).collect()}
+    assert len(got) == len(pages)
+    for p in pages:
+        r = got[p["url"]]
+        assert bytes(r["html"]) == bytes(p["html"])
+        assert r["warc_ts"] == p["warc_ts"]
+        assert r["lang"] == p["lang"]
+        assert r["text"] == p["text"]
+
+
+def test_extract_text_false_defers_extraction(spark, tmp_path):
+    pages = _pages(3)
+    path = _write(tmp_path, "d.warc", warc.write_warc_bytes(pages, gzip_per_record=False))
+    rows = warc.read_warc(spark, path, extract_text=False).collect()
+    assert all(r["text"] is None for r in rows)
+    assert all(bytes(r["html"]) for r in rows)
+
+
+def test_non_page_records_are_skipped():
+    """warcinfo / request / metadata records are infrastructure, not pages
+    (the reference keeps only fetched page content, crawler.py:266-290)."""
+    page = _pages(1)[0]
+    rec = warc.warc_record_bytes(page["url"], page["warc_ts"], bytes(page["html"]))
+    info = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Record-ID: <urn:x:1>\r\n"
+            b"WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: 9\r\n\r\nabc: def\n\r\n\r\n")
+    req = (b"WARC/1.0\r\nWARC-Type: request\r\nWARC-Record-ID: <urn:x:2>\r\n"
+           b"WARC-Date: 2026-01-01T00:00:00Z\r\nWARC-Target-URI: http://a/\r\n"
+           b"Content-Length: 18\r\n\r\nGET / HTTP/1.1\r\n\r\n\r\n\r\n")
+    pdf = warc.parse_warc_pages(info + req + rec)
+    assert list(pdf["url"]) == [page["url"]]
+
+
+def test_resource_record_without_http_envelope():
+    page = _pages(1)[0]
+    rec = warc.warc_record_bytes(
+        page["url"], page["warc_ts"], bytes(page["html"]), http_envelope=False
+    )
+    pdf = warc.parse_warc_pages(rec)
+    assert bytes(pdf["html"][0]) == bytes(page["html"])
+
+
+def test_single_member_gzip_of_whole_container():
+    """A single gzip member holding MANY records (legal, non-CC layout)
+    must parse identically — exercises the cross-member drain buffer."""
+    pages = _pages(5)
+    plain = warc.write_warc_bytes(pages, gzip_per_record=False)
+    pdf = warc.parse_warc_pages(gzip.compress(plain, mtime=0))
+    assert list(pdf["url"]) == [p["url"] for p in pages]
+
+
+def test_record_split_across_gzip_members():
+    """A member boundary in the MIDDLE of a record (nothing in ISO 28500
+    forbids it): the pending buffer must carry the partial record into the
+    next member and complete it."""
+    pages = _pages(3)
+    plain = warc.write_warc_bytes(pages, gzip_per_record=False)
+    cut = len(plain) // 2
+    data = gzip.compress(plain[:cut], mtime=0) + gzip.compress(plain[cut:], mtime=0)
+    pdf = warc.parse_warc_pages(data)
+    assert list(pdf["url"]) == [p["url"] for p in pages]
+
+
+def test_truncated_body_fails_loudly():
+    page = _pages(1)[0]
+    rec = warc.warc_record_bytes(page["url"], page["warc_ts"], bytes(page["html"]))
+    with pytest.raises(warc.WarcFormatError, match="truncated"):
+        warc.parse_warc_pages(rec[: len(rec) // 2])
+
+
+def test_truncated_gzip_tail_fails_loudly():
+    pages = _pages(2)
+    data = warc.write_warc_bytes(pages, gzip_per_record=True)
+    with pytest.raises(warc.WarcFormatError, match="truncated|incomplete|corrupt"):
+        warc.parse_warc_pages(data[:-20])
+
+
+def test_bad_magic_fails_loudly():
+    with pytest.raises(warc.WarcFormatError, match="version line"):
+        warc.parse_warc_pages(b"NOT-A-WARC\r\n\r\nwhatever")
+
+
+def test_missing_content_length_fails_loudly():
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n"
+           b"WARC-Target-URI: http://a/\r\n\r\nbody\r\n\r\n")
+    with pytest.raises(warc.WarcFormatError, match="Content-Length"):
+        warc.parse_warc_pages(rec)
+
+
+def test_multifile_read_is_shuffle_free(spark, tmp_path):
+    """Directory of containers: one row per page across files, and the
+    executed plan is a pure scan→parse map — no Exchange (at CC scale the
+    grain is the ~1 GB file; a shuffle here would move the whole corpus)."""
+    pages = _pages(8)
+    _write(tmp_path, "a.warc.gz", warc.write_warc_bytes(pages[:4]))
+    _write(tmp_path, "b.warc.gz", warc.write_warc_bytes(pages[4:]))
+    df = warc.read_warc(spark, str(tmp_path))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert sorted(r["url"] for r in df.collect()) == sorted(p["url"] for p in pages)
+
+
+def test_warc_to_index_end_to_end(spark, tmp_path):
+    """The full story: WARC container → input table → one-pass sharded
+    compressed index → WAND query returns a planted page."""
+    from searchengine_spark.operators import shards
+    from searchengine_spark.plans.wand import WandSearchEngine
+
+    pages = _pages(30)
+    path = _write(tmp_path, "c.warc.gz", warc.write_warc_bytes(pages))
+    df = warc.read_warc(spark, path)
+    index = shards.build_and_write_sharded(
+        spark, df, str(tmp_path / "idx"), n_shards=2
+    )
+    # query with a word from a known page's extracted text
+    probe = [w for w in pages[7]["text"].split() if w.isalpha() and len(w) >= 6][0].lower()
+    res = WandSearchEngine(spark, index).search_batch(
+        [(0, probe)], top_k=5, with_metadata=False
+    )
+    assert res.count() >= 1
+
+
+def test_warc_date_timezone_offset_normalized():
+    """WARC-Date with an explicit non-Z offset normalizes to UTC."""
+    page = _pages(1)[0]
+    rec = warc.warc_record_bytes(page["url"], page["warc_ts"], b"<p>x</p>")
+    rec = rec.replace(
+        page["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ").encode(),
+        b"2026-03-01T05:30:00+05:30",
+    )
+    pdf = warc.parse_warc_pages(rec)
+    assert pdf["warc_ts"][0] == dt.datetime(2026, 3, 1, 0, 0, 0)
