@@ -12,7 +12,9 @@ by ``tests/test_spark_submit.py``.)
 
 Locally the same module runs as ``python -m searchengine_spark.cli ...``
 (Spark local mode). Subcommands mirror the reference's scripts:
-``generate`` (test corpus), ``build`` (= build_index.py), ``optimize``
+``generate`` (test corpus), ``ingest-warc`` (Common-Crawl containers →
+pages table; also ``build --input-format warc`` to index straight from
+containers), ``build`` (= build_index.py), ``optimize``
 (= optimize_index.py → sharded compressed blocks), ``query`` (= app.py
 search path), ``merge`` (segment merge), ``verify`` (= verify_index.py).
 """
@@ -46,11 +48,37 @@ def cmd_generate(args) -> int:
     return 0
 
 
+def cmd_ingest_warc(args) -> int:
+    """WARC containers → the canonical pages parquet table (sources/warc.py);
+    the at-rest equivalent of the reference's live fetch (crawler.py:266)."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.sources import warc
+
+    spark = _spark(args)
+    pages = warc.read_warc(spark, args.input, extract_text=not args.no_text)
+    pages.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).agg(F.count("*")).collect()[0][0]
+    print(json.dumps({"ingested_docs": int(n), "path": args.out}))
+    return 0
+
+
+def _read_pages(spark, args):
+    """build/optimize input: parquet pages table, or WARC containers read
+    directly (no intermediate table — the 100 TB path skips one full
+    corpus write+read)."""
+    if getattr(args, "input_format", "parquet") == "warc":
+        from searchengine_spark.sources import warc
+
+        return warc.read_warc(spark, args.input)
+    return spark.read.parquet(args.input)
+
+
 def cmd_build(args) -> int:
     from searchengine_spark.operators import checkpoint, index_build
 
     spark = _spark(args)
-    pages = spark.read.parquet(args.input)
+    pages = _read_pages(spark, args)
     t0 = time.time()
     if args.sharded:
         from searchengine_spark.operators import shards
@@ -217,8 +245,17 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--out", required=True)
     g.set_defaults(fn=cmd_generate)
 
+    iw = sub.add_parser("ingest-warc", help="WARC containers → pages parquet table")
+    iw.add_argument("--input", required=True, help="dir/glob of .warc / .warc.gz files")
+    iw.add_argument("--out", required=True)
+    iw.add_argument("--no-text", action="store_true",
+                    help="skip T2 extraction (text column NULL; a downstream stage owns it)")
+    iw.set_defaults(fn=cmd_ingest_warc)
+
     b = sub.add_parser("build", help="build + persist the inverted index")
     b.add_argument("--input", required=True)
+    b.add_argument("--input-format", choices=["parquet", "warc"], default="parquet",
+                   help="read --input as a pages parquet table or as WARC containers directly")
     b.add_argument("--out", required=True)
     b.add_argument("--partitions", type=int, default=32)
     b.add_argument("--resumable", action="store_true")

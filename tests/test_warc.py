@@ -158,6 +158,32 @@ def test_warc_to_index_end_to_end(spark, tmp_path):
     assert res.count() >= 1
 
 
+def test_cli_ingest_and_direct_build(spark, tmp_path):
+    """CLI surface: `ingest-warc` materializes the pages table; `build
+    --input-format warc --sharded` indexes straight from containers (the
+    100 TB path that skips one full corpus write+read)."""
+    from searchengine_spark import cli
+    from searchengine_spark.operators import shards
+
+    pages = _pages(20)
+    seg = tmp_path / "segs"
+    seg.mkdir()
+    _write(seg, "s.warc.gz", warc.write_warc_bytes(pages))
+
+    out = tmp_path / "pages_pq"
+    assert cli.main(["ingest-warc", "--input", str(seg), "--out", str(out)]) == 0
+    got = spark.read.parquet(str(out))
+    assert got.count() == len(pages)
+    assert got.columns == ["url", "warc_ts", "html", "text", "lang"]
+
+    idx = tmp_path / "idx2"
+    assert cli.main([
+        "build", "--input", str(seg), "--input-format", "warc",
+        "--sharded", "--shards", "2", "--out", str(idx),
+    ]) == 0
+    assert shards.read_sharded_index(spark, str(idx)).n_docs == len(pages)
+
+
 def test_warc_date_timezone_offset_normalized():
     """WARC-Date with an explicit non-Z offset normalizes to UTC."""
     page = _pages(1)[0]
