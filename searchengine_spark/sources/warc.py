@@ -287,7 +287,12 @@ def warc_record_bytes(
     """One WARC/1.0 response record (deterministic: the record id is
     urn:md5 of url+date, no UUIDs — test fixtures must be byte-stable).
     Naive ``ts`` is taken as UTC (the engine's session timezone); aware
-    ``ts`` is converted before the Z-suffixed format is stamped."""
+    ``ts`` is converted before the Z-suffixed format is stamped. A CR/LF
+    in url or lang would inject header lines (the WARC analog of HTTP
+    response splitting) — rejected loudly."""
+    for name, val in (("url", url), ("lang", lang)):
+        if val is not None and ("\r" in val or "\n" in val):
+            raise ValueError(f"{name} contains CR/LF (header injection): {val!r}")
     if ts.tzinfo is not None:
         ts = ts.astimezone(dt.timezone.utc).replace(tzinfo=None)
     date = ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode()
