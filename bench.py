@@ -211,6 +211,33 @@ def _warm_cache(n_docs: int) -> None:
     os.system(f"cat {path}/*.parquet > /dev/null 2>&1")
 
 
+def _scaling_arm(label: str, cpus: int, env_extra: dict, argv: tuple = ()) -> dict:
+    """One scaling-arm subprocess (a local[N] master is fixed per JVM, so
+    every arm needs a fresh process). The crash-surfacing contract is
+    shared by every scaling mode: non-zero exit or a missing JSON line
+    raises with the stderr tail instead of dying on [-1] of an empty
+    stdout list."""
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cpus)
+    env.update(env_extra)
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), *argv],
+        capture_output=True, text=True, env=env, cwd=REPO,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"{label} arm local[{cpus}] exited {proc.returncode}; "
+            f"stderr tail:\n" + proc.stderr[-2000:]
+        )
+    json_lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    if not json_lines:
+        raise RuntimeError(
+            f"{label} arm local[{cpus}] produced no JSON line; "
+            f"stderr tail:\n" + proc.stderr[-2000:]
+        )
+    return json.loads(json_lines[-1])
+
+
 def run_scaling(n_docs: int = SCALING_DOCS) -> dict:
     """Same job at local[N] vs local[4N] on the same input → efficiency.
 
@@ -223,31 +250,11 @@ def run_scaling(n_docs: int = SCALING_DOCS) -> dict:
     for _ in range(SCALING_REPEATS):
         for cpus in (lo, hi):
             _warm_cache(n_docs)
-            env = dict(os.environ)
-            env["SPARK_GRAFT_CPUS"] = str(cpus)
-            env["SPARK_GRAFT_BENCH_DOCS"] = str(n_docs)
-            env["SPARK_GRAFT_BUILD_ONLY"] = "1"
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                capture_output=True, text=True, env=env, cwd=REPO,
+            res = _scaling_arm(
+                "build-scaling", cpus,
+                {"SPARK_GRAFT_BENCH_DOCS": str(n_docs),
+                 "SPARK_GRAFT_BUILD_ONLY": "1"},
             )
-            # same crash-surfacing contract as run_query_scaling: a failed
-            # arm must raise with its stderr, not die on [-1] of an empty
-            # stdout list
-            if proc.returncode != 0:
-                raise RuntimeError(
-                    f"scaling arm local[{cpus}] exited {proc.returncode}; "
-                    f"stderr tail:\n" + proc.stderr[-2000:]
-                )
-            json_lines = [
-                l for l in proc.stdout.strip().splitlines() if l.startswith("{")
-            ]
-            if not json_lines:
-                raise RuntimeError(
-                    f"scaling arm local[{cpus}] produced no JSON line; "
-                    f"stderr tail:\n" + proc.stderr[-2000:]
-                )
-            res = json.loads(json_lines[-1])
             if cpus not in best or res["docs_per_sec"] > best[cpus]["docs_per_sec"]:
                 best[cpus] = res
     dps_lo = best[lo]["docs_per_sec"]
@@ -327,29 +334,9 @@ def run_query_scaling(n_docs: int = SCALING_DOCS) -> dict:
                 f"find {index_path} -name '*.parquet' -exec cat {{}} + "
                 "> /dev/null 2>&1"
             )
-            env = dict(os.environ)
-            env["SPARK_GRAFT_CPUS"] = str(cpus)
-            env["SPARK_GRAFT_QUERY_INDEX"] = index_path
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                capture_output=True, text=True, env=env, cwd=REPO,
+            res = _scaling_arm(
+                "query-scaling", cpus, {"SPARK_GRAFT_QUERY_INDEX": index_path}
             )
-            if proc.returncode != 0:
-                raise RuntimeError(
-                    f"query-scaling arm local[{cpus}] exited "
-                    f"{proc.returncode}; stderr tail:\n"
-                    + proc.stderr[-2000:]
-                )
-            json_lines = [
-                l for l in proc.stdout.strip().splitlines() if l.startswith("{")
-            ]
-            if not json_lines:
-                raise RuntimeError(
-                    f"query-scaling arm local[{cpus}] produced no JSON line; "
-                    f"stderr tail:\n" + proc.stderr[-2000:]
-                )
-            line = json_lines[-1]
-            res = json.loads(line)
             if (
                 cpus not in best
                 or res["queries_per_sec"] > best[cpus]["queries_per_sec"]
@@ -490,27 +477,9 @@ def run_warc_scaling(n_docs: int = N_DOCS) -> dict:
     best: dict[int, dict] = {}
     for _ in range(SCALING_REPEATS):
         for cpus in (lo, hi):
-            env = dict(os.environ)
-            env["SPARK_GRAFT_CPUS"] = str(cpus)
-            env["SPARK_GRAFT_BENCH_DOCS"] = str(n_docs)
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--warc"],
-                capture_output=True, text=True, env=env, cwd=REPO,
+            res = _scaling_arm(
+                "warc", cpus, {"SPARK_GRAFT_BENCH_DOCS": str(n_docs)}, ("--warc",)
             )
-            if proc.returncode != 0:
-                raise RuntimeError(
-                    f"warc arm local[{cpus}] exited {proc.returncode}; "
-                    f"stderr tail:\n" + proc.stderr[-2000:]
-                )
-            json_lines = [
-                l for l in proc.stdout.strip().splitlines() if l.startswith("{")
-            ]
-            if not json_lines:
-                raise RuntimeError(
-                    f"warc arm local[{cpus}] produced no JSON line; "
-                    f"stderr tail:\n" + proc.stderr[-2000:]
-                )
-            res = json.loads(json_lines[-1])
             if cpus not in best or res["docs_per_sec"] > best[cpus]["docs_per_sec"]:
                 best[cpus] = res
     dps_lo = best[lo]["docs_per_sec"]

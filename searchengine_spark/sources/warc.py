@@ -26,13 +26,25 @@ Text extraction (the ``text`` column) reuses the engine's own T2 kernel
 (``functions/textproc.extract_text_from_html``) inside the same Arrow
 pass, preserving the per-row byte-identity invariant; pass
 ``extract_text=False`` to defer it (column comes back NULL) when a
-downstream stage owns extraction.
+downstream stage owns extraction. ``read_warc`` emits output frames in
+bounded row batches, so a task never materializes a whole decoded
+container — memory is (compressed file) + O(largest record) +
+O(batch_rows pages), honoring the contract above end to end.
 
-Fail-loud contract: a malformed container (bad version line, missing
-Content-Length, truncated body) raises with the file offset — a silent
-skip would undercount the corpus invisibly. Records that are well-formed
-but not page-bearing (warcinfo / request / metadata / revisit) are
-skipped by design, mirroring the reference keeping only 200-responses.
+HTTP semantics: ``application/http`` record bodies (keyed on the record's
+Content-Type, ISO 28500 §6.2 — never guessed from body bytes, so a
+resource document that happens to begin with ``HTTP/`` is untouched) have
+their envelope stripped, ``Transfer-Encoding: chunked`` framing removed
+(CC records preserve wire bytes), and only 2xx statuses surface as pages
+— mirroring the reference keeping only successful fetches
+(``crawler.py:266-290``).
+
+Fail-loud contract: a malformed container (bad version line, missing or
+non-numeric Content-Length, truncated body, corrupt gzip member, bad
+chunked framing) raises with the parse offset — a silent skip would
+undercount the corpus invisibly. Records that are well-formed but not
+page-bearing (warcinfo / request / metadata / revisit, non-2xx responses)
+are skipped by design.
 """
 
 from __future__ import annotations
@@ -99,6 +111,23 @@ def _parse_headers(block: bytes, pos: int) -> dict[bytes, bytes]:
     return headers
 
 
+def _content_length(headers: dict[bytes, bytes], pos: int) -> int:
+    """Content-Length, fail-loud with the parse offset: absent, non-numeric
+    and negative (would rewind the cursor) all raise WarcFormatError."""
+    raw = headers.get(b"content-length")
+    if raw is None:
+        raise WarcFormatError(f"record at byte {pos} has no Content-Length")
+    try:
+        clen = int(raw)
+    except ValueError:
+        raise WarcFormatError(
+            f"record at byte {pos} has non-numeric Content-Length {raw[:20]!r}"
+        ) from None
+    if clen < 0:
+        raise WarcFormatError(f"record at byte {pos} has negative Content-Length {clen}")
+    return clen
+
+
 def _iter_plain_records(buf: bytes, base_pos: int = 0) -> Iterator[tuple[dict, bytes]]:
     """Yield (warc_headers, body_bytes) from an UNCOMPRESSED WARC byte
     buffer. Raises WarcFormatError on truncation or a bad magic line."""
@@ -120,9 +149,7 @@ def _iter_plain_records(buf: bytes, base_pos: int = 0) -> Iterator[tuple[dict, b
             raise WarcFormatError(f"unterminated WARC header block at byte {base_pos + pos}")
         first_nl = buf.index(_CRLF, pos)
         headers = _parse_headers(buf[first_nl + 2 : hdr_end], base_pos + pos)
-        if b"content-length" not in headers:
-            raise WarcFormatError(f"record at byte {base_pos + pos} has no Content-Length")
-        clen = int(headers[b"content-length"])
+        clen = _content_length(headers, base_pos + pos)
         body_start = hdr_end + len(_HDR_END)
         if body_start + clen > n:
             raise WarcFormatError(
@@ -133,27 +160,46 @@ def _iter_plain_records(buf: bytes, base_pos: int = 0) -> Iterator[tuple[dict, b
         pos = body_start + clen
 
 
+_GZ_CHUNK = 1 << 20  # compressed bytes fed to zlib per call
+
+
 def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
     """Yield (warc_headers, body) from WARC container bytes — plain or
     gzipped. The Common-Crawl layout (one gzip member per record) is
     decompressed member-by-member with bounded memory: each member's
-    plaintext is parsed and released before the next member is inflated."""
+    plaintext is parsed and released before the next member is inflated.
+    Compressed input is sliced through ONE memoryview in _GZ_CHUNK pieces
+    (``d.decompress(data[pos:])`` per member would copy the whole remaining
+    buffer into every member's ``unused_data`` — O(members × file) memcpy,
+    tens of TB at the ~1 GB / ~50k-member CC grain)."""
     if data[:2] != b"\x1f\x8b":
         yield from _iter_plain_records(data)
         return
+    mv = memoryview(data)
+    n = len(data)
     pos = 0
     pending = b""  # plaintext bytes not yet forming a complete record
-    while pos < len(data):
+    while pos < n:
+        member_start = pos
         d = zlib.decompressobj(wbits=47)  # 32+15: gzip wrapper, one member
-        try:
-            chunk = d.decompress(data[pos:])
-        except zlib.error as e:
-            raise WarcFormatError(f"gzip member at byte {pos} is corrupt: {e}") from e
-        consumed = len(data) - pos - len(d.unused_data)
-        if not d.eof:
-            raise WarcFormatError(f"gzip member at byte {pos} is truncated")
-        pos += consumed
-        pending += chunk
+        out = []
+        while True:
+            if pos >= n:
+                raise WarcFormatError(
+                    f"gzip member at byte {member_start} is truncated"
+                )
+            piece = mv[pos : pos + _GZ_CHUNK]
+            try:
+                out.append(d.decompress(piece))
+            except zlib.error as e:
+                raise WarcFormatError(
+                    f"gzip member at byte {member_start} is corrupt: {e}"
+                ) from e
+            if d.eof:  # unused_data is bounded by the piece size, not the file
+                pos += len(piece) - len(d.unused_data)
+                break
+            pos += len(piece)
+        pending += b"".join(out)
         # a member boundary is a record boundary in the CC layout, but a
         # single-member gzip of a whole multi-record file is also legal —
         # drain every COMPLETE record, keep the tail for the next member
@@ -178,7 +224,11 @@ def _drain_complete(buf: bytes) -> Iterator[tuple[dict, bytes, int]]:
     while pos < n:
         while pos < n and buf[pos : pos + 2] == _CRLF:
             pos += 2
-        if pos >= n:
+        if n - pos < 5:
+            # too short to judge: could be a padding fragment (b"\r") or a
+            # split magic (b"WA") — a member boundary may fall ANYWHERE,
+            # so wait for more members (garbage is still caught by the
+            # incomplete-tail check at end of container)
             return
         if not buf.startswith(b"WARC/", pos):
             raise WarcFormatError(
@@ -190,9 +240,7 @@ def _drain_complete(buf: bytes) -> Iterator[tuple[dict, bytes, int]]:
             return  # header itself incomplete — wait for more members
         first_nl = buf.index(_CRLF, pos)
         headers = _parse_headers(buf[first_nl + 2 : hdr_end], pos)
-        if b"content-length" not in headers:
-            raise WarcFormatError(f"record at plaintext byte {pos} has no Content-Length")
-        clen = int(headers[b"content-length"])
+        clen = _content_length(headers, pos)
         body_start = hdr_end + len(_HDR_END)
         if body_start + clen > n:
             return  # body incomplete — wait for more members
@@ -200,40 +248,95 @@ def _drain_complete(buf: bytes) -> Iterator[tuple[dict, bytes, int]]:
         pos = body_start + clen
 
 
-def _http_payload(body: bytes) -> bytes:
-    """Strip the HTTP response envelope from a `response` record body; a
-    body with no envelope (resource records, non-HTTP schemes) passes
-    through whole."""
+def _dechunk(payload: bytes) -> bytes:
+    """Decode ``Transfer-Encoding: chunked`` framing (RFC 9112 §7.1).
+    Common-Crawl response records preserve the wire bytes, so chunk-size
+    lines must be removed before the payload is page content; trailers
+    after the terminal 0-chunk are ignored."""
+    out = []
+    pos = 0
+    n = len(payload)
+    while True:
+        nl = payload.find(_CRLF, pos)
+        if nl < 0:
+            raise WarcFormatError("chunked body: missing chunk-size line")
+        size_tok = payload[pos:nl].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            raise WarcFormatError(
+                f"chunked body: bad chunk size {size_tok[:20]!r}"
+            ) from None
+        pos = nl + 2
+        if size == 0:
+            return b"".join(out)
+        if pos + size > n:
+            raise WarcFormatError("chunked body: chunk data truncated")
+        out.append(payload[pos : pos + size])
+        pos += size
+        if payload[pos : pos + 2] != _CRLF:
+            raise WarcFormatError("chunked body: missing CRLF after chunk data")
+        pos += 2
+
+
+def _http_payload(headers: dict[bytes, bytes], body: bytes) -> tuple[int | None, bytes]:
+    """(status, payload) for a page record body. Envelope handling is keyed
+    on the RECORD's Content-Type (ISO 28500 §6.2): ``application/http``
+    bodies are HTTP messages (envelope stripped, chunked framing decoded,
+    status returned); everything else — resource records, non-HTTP schemes
+    — passes through whole with status None, even if the document bytes
+    happen to begin with ``HTTP/``."""
+    ctype = headers.get(b"content-type", b"")
+    if not ctype.lower().startswith(b"application/http"):
+        return None, body
     if not body.startswith(b"HTTP/"):
-        return body
+        raise WarcFormatError(
+            f"application/http record body does not start with HTTP/: {body[:20]!r}"
+        )
     sep = body.find(_HDR_END)
     if sep < 0:
         raise WarcFormatError("HTTP response block has headers but no blank-line terminator")
-    return body[sep + len(_HDR_END) :]
+    head = body[:sep]
+    status_line, _, hdr_block = head.partition(_CRLF)
+    parts = status_line.split()
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        raise WarcFormatError(
+            f"malformed HTTP status line {status_line[:40]!r}"
+        ) from None
+    payload = body[sep + len(_HDR_END) :]
+    http_headers = _parse_headers(hdr_block, 0) if hdr_block else {}
+    if b"chunked" in http_headers.get(b"transfer-encoding", b"").lower():
+        payload = _dechunk(payload)
+    return status, payload
 
 
 def _parse_warc_date(raw: bytes) -> dt.datetime:
     """WARC-Date is ISO 8601 UTC (`2026-08-20T12:00:00Z`); returned naive
-    because the engine pins spark.sql.session.timeZone=UTC (session.py)."""
+    because the engine pins spark.sql.session.timeZone=UTC (session.py).
+    An offset-less date (malformed but parseable) is taken AS UTC — never
+    host-local, which would make the same container parse differently on
+    different executors."""
     s = raw.decode("ascii").strip()
     if s.endswith("Z"):
         s = s[:-1] + "+00:00"
     d = dt.datetime.fromisoformat(s)
+    if d.tzinfo is None:
+        return d
     return d.astimezone(dt.timezone.utc).replace(tzinfo=None)
 
 
-def parse_warc_pages(data: bytes, extract_text: bool = True) -> pd.DataFrame:
-    """WARC container bytes → pandas frame in PAGES_SCHEMA order. Only
-    page-bearing records (response/resource) produce rows. `lang` comes
-    from WARC-Identified-Content-Language (present in Common Crawl since
+_COLS = ["url", "warc_ts", "html", "text", "lang"]
+
+
+def _iter_page_rows(data: bytes, extract_text: bool) -> Iterator[dict]:
+    """Lazy page rows from container bytes. Only page-bearing records
+    (response with 2xx status / resource) produce rows. `lang` comes from
+    WARC-Identified-Content-Language (present in Common Crawl since
     CC-MAIN-2018-39; first tag wins when multi-valued), else NULL."""
     from searchengine_spark.functions.textproc import extract_text_from_html
 
-    urls: list[str] = []
-    tss: list[dt.datetime] = []
-    htmls: list[bytes] = []
-    texts: list[str | None] = []
-    langs: list[str | None] = []
     for headers, body in iter_warc_records(data):
         if headers.get(b"warc-type", b"") not in _PAGE_TYPES:
             continue
@@ -244,34 +347,62 @@ def parse_warc_pages(data: bytes, extract_text: bool = True) -> pd.DataFrame:
                 "page record missing WARC-Target-URI or WARC-Date "
                 f"(headers: {sorted(headers)[:8]})"
             )
-        payload = _http_payload(body)
+        status, payload = _http_payload(headers, body)
+        if status is not None and not (200 <= status < 300):
+            continue  # 404 pages / redirect stubs / 5xx are not corpus pages
+        url = uri.decode("utf-8", "replace")
+        if url.startswith("<") and url.endswith(">"):
+            url = url[1:-1]  # exactly ONE bracket pair (WARC 1.0 uri form)
         lang_raw = headers.get(b"warc-identified-content-language")
-        urls.append(uri.decode("utf-8", "replace").strip("<>"))
-        tss.append(_parse_warc_date(date))
-        htmls.append(payload)
-        texts.append(
-            extract_text_from_html(payload.decode("utf-8", "replace"))
-            if extract_text
-            else None
-        )
-        langs.append(
-            lang_raw.decode("ascii", "replace").split(",")[0].strip() if lang_raw else None
-        )
-    return pd.DataFrame(
-        {"url": urls, "warc_ts": tss, "html": htmls, "text": texts, "lang": langs},
-        columns=["url", "warc_ts", "html", "text", "lang"],
-    )
+        yield {
+            "url": url,
+            "warc_ts": _parse_warc_date(date),
+            "html": payload,
+            "text": (
+                extract_text_from_html(payload.decode("utf-8", "replace"))
+                if extract_text
+                else None
+            ),
+            "lang": (
+                lang_raw.decode("ascii", "replace").split(",")[0].strip()
+                if lang_raw
+                else None
+            ),
+        }
 
 
-def read_warc(spark: SparkSession, path: str, extract_text: bool = True) -> DataFrame:
+def parse_warc_pages(data: bytes, extract_text: bool = True) -> pd.DataFrame:
+    """WARC container bytes → ONE pandas frame in PAGES_SCHEMA order
+    (convenience for tests/small containers; the distributed path,
+    read_warc, streams bounded batches instead)."""
+    rows = list(_iter_page_rows(data, extract_text))
+    return pd.DataFrame(rows, columns=_COLS)
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    extract_text: bool = True,
+    batch_rows: int = 1000,
+) -> DataFrame:
     """Directory/glob of ``.warc`` / ``.warc.gz`` files → input table.
-    One binaryFile row per container, one Arrow parse pass, zero shuffle."""
+    One binaryFile row per container, one Arrow parse pass, zero shuffle.
+    Output frames are emitted every ``batch_rows`` pages so a task holds
+    O(batch) decoded pages, never the whole decoded container (a ~1 GB CC
+    segment decodes to several GB of html+text)."""
     files = spark.read.format("binaryFile").load(path).select("content")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for blob in pdf["content"]:
-                yield parse_warc_pages(bytes(blob), extract_text=extract_text)
+                buf: list[dict] = []
+                for row in _iter_page_rows(bytes(blob), extract_text):
+                    buf.append(row)
+                    if len(buf) >= batch_rows:
+                        yield pd.DataFrame(buf, columns=_COLS)
+                        buf = []
+                if buf:
+                    yield pd.DataFrame(buf, columns=_COLS)
 
     return files.mapInPandas(run, PAGES_SCHEMA)
 

@@ -184,6 +184,110 @@ def test_cli_ingest_and_direct_build(spark, tmp_path):
     assert shards.read_sharded_index(spark, str(idx)).n_docs == len(pages)
 
 
+def _response_record(url, ts, status_line, http_headers, payload):
+    head = status_line + (b"\r\n" + http_headers if http_headers else b"")
+    body = head + b"\r\n\r\n" + payload
+    rid = b"<urn:t:1>"
+    return (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: " + rid
+        + b"\r\nWARC-Date: " + ts + b"\r\nWARC-Target-URI: " + url
+        + b"\r\nContent-Type: application/http; msgtype=response\r\n"
+        + b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+        + body + b"\r\n\r\n"
+    )
+
+
+def test_non_2xx_responses_are_skipped():
+    """404/301/500 response records are fetch failures, not corpus pages
+    (the reference keeps only successful fetches, crawler.py:266-290)."""
+    ts = b"2026-01-01T00:00:00Z"
+    recs = (
+        _response_record(b"http://a/404", ts, b"HTTP/1.1 404 Not Found", b"", b"<p>no</p>")
+        + _response_record(b"http://a/301", ts, b"HTTP/1.1 301 Moved", b"Location: /x", b"")
+        + _response_record(b"http://a/ok", ts, b"HTTP/1.1 200 OK", b"", b"<p>yes</p>")
+        + _response_record(b"http://a/500", ts, b"HTTP/1.1 500 Oops", b"", b"<p>err</p>")
+    )
+    pdf = warc.parse_warc_pages(recs)
+    assert list(pdf["url"]) == ["http://a/ok"]
+    assert bytes(pdf["html"][0]) == b"<p>yes</p>"
+
+
+def test_chunked_transfer_encoding_is_decoded():
+    """CC records preserve wire bytes: Transfer-Encoding chunked framing
+    must be removed or the hex size lines corrupt html and T2 text."""
+    ts = b"2026-01-01T00:00:00Z"
+    wire = b"5\r\n<p>he\r\n8;ext=1\r\nllo</p>x\r\n0\r\ntrailer: t\r\n\r\n"
+    rec = _response_record(
+        b"http://a/c", ts, b"HTTP/1.1 200 OK", b"Transfer-Encoding: chunked", wire
+    )
+    pdf = warc.parse_warc_pages(rec)
+    assert bytes(pdf["html"][0]) == b"<p>hello</p>x"
+
+
+def test_chunked_bad_framing_fails_loudly():
+    ts = b"2026-01-01T00:00:00Z"
+    rec = _response_record(
+        b"http://a/c", ts, b"HTTP/1.1 200 OK", b"Transfer-Encoding: chunked",
+        b"ZZ\r\nbody\r\n0\r\n\r\n",
+    )
+    with pytest.raises(warc.WarcFormatError, match="chunk size"):
+        warc.parse_warc_pages(rec)
+
+
+def test_resource_body_starting_with_http_is_not_stripped():
+    """Envelope stripping is keyed on the record Content-Type, not sniffed
+    from body bytes: an archived text document ABOUT HTTP survives."""
+    page = _pages(1)[0]
+    doc = b"HTTP/1.1 is a protocol.\r\n\r\nIt has headers."
+    rec = warc.warc_record_bytes(page["url"], page["warc_ts"], doc, http_envelope=False)
+    pdf = warc.parse_warc_pages(rec)
+    assert bytes(pdf["html"][0]) == doc
+
+
+def test_naive_warc_date_is_utc_not_host_local():
+    """An offset-less WARC-Date must parse as UTC on every host, never
+    through the machine's local timezone."""
+    page = _pages(1)[0]
+    rec = warc.warc_record_bytes(page["url"], page["warc_ts"], b"<p>x</p>")
+    rec = rec.replace(
+        page["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ").encode(),
+        b"2026-03-01T05:30:00",
+    )
+    pdf = warc.parse_warc_pages(rec)
+    assert pdf["warc_ts"][0] == dt.datetime(2026, 3, 1, 5, 30, 0)
+
+
+def test_bad_content_length_fails_loudly_with_offset():
+    base = (b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n"
+            b"WARC-Target-URI: http://a/\r\nContent-Length: %b\r\n\r\nbody\r\n\r\n")
+    with pytest.raises(warc.WarcFormatError, match="non-numeric Content-Length"):
+        warc.parse_warc_pages(base % b"abc")
+    with pytest.raises(warc.WarcFormatError, match="negative Content-Length"):
+        warc.parse_warc_pages(base % b"-4")
+
+
+def test_gzip_member_boundary_inside_magic_and_padding():
+    """A member boundary may fall ANYWHERE — mid-magic ('WA|RC/1.0') and
+    mid-padding ('\\r|\\n') must wait for the next member, not raise."""
+    pages = _pages(3)
+    plain = warc.write_warc_bytes(pages, gzip_per_record=False)
+    second = plain.index(b"WARC/1.0", 1)
+    for cut in (second + 2,          # inside the magic of record 2
+                second - 3,          # inside the inter-record padding
+                second - 1):
+        data = gzip.compress(plain[:cut], mtime=0) + gzip.compress(plain[cut:], mtime=0)
+        pdf = warc.parse_warc_pages(data)
+        assert list(pdf["url"]) == [p["url"] for p in pages], f"cut={cut}"
+
+
+def test_bracketed_target_uri_strips_exactly_one_pair():
+    ts = b"2026-01-01T00:00:00Z"
+    rec = _response_record(b"<http://a/x>", ts, b"HTTP/1.1 200 OK", b"", b"<p>b</p>")
+    rec2 = _response_record(b"http://a/y>", ts, b"HTTP/1.1 200 OK", b"", b"<p>b</p>")
+    pdf = warc.parse_warc_pages(rec + rec2)
+    assert list(pdf["url"]) == ["http://a/x", "http://a/y>"]
+
+
 def test_header_injection_rejected():
     page = _pages(1)[0]
     with pytest.raises(ValueError, match="header injection"):
@@ -221,17 +325,10 @@ _ADVERSARIAL = [
 )
 def test_roundtrip_arbitrary_payloads(bodies, gz, envelope):
     """Property: ANY byte payload survives write→parse byte-identically,
-    plain or CC-gzip, with or without the HTTP envelope — except the one
-    documented ambiguity: an envelope-less body that itself starts with
-    b'HTTP/' is indistinguishable from an enveloped one (real CC response
-    records always carry the envelope)."""
+    plain or CC-gzip, with or without the HTTP envelope — envelope
+    stripping is keyed on the record's Content-Type, so a resource body
+    that starts with b'HTTP/' is NOT mistaken for an enveloped message."""
     ts = dt.datetime(2026, 1, 2, 3, 4, 5)
-    if not envelope:
-        # an envelope-less body starting with b'HTTP/' is indistinguishable
-        # from an enveloped record (and raises if it lacks the header
-        # terminator) — real CC response records always carry the envelope,
-        # so keep the property's domain to unambiguous resource bodies
-        bodies = [b"x" + b if b.startswith(b"HTTP/") else b for b in bodies]
     pages = [
         {"url": f"http://h/{i}", "warc_ts": ts, "html": b, "lang": None}
         for i, b in enumerate(bodies)
