@@ -280,6 +280,31 @@ def test_gzip_member_boundary_inside_magic_and_padding():
         assert list(pdf["url"]) == [p["url"] for p in pages], f"cut={cut}"
 
 
+def test_gzip_member_larger_than_chunk_size():
+    """A single member whose COMPRESSED size exceeds _GZ_CHUNK drives the
+    multi-piece inner loop (eof only after several pieces) — position
+    accounting must stay exact. Incompressible payload forces it."""
+    import hashlib
+
+    blob = b"".join(
+        hashlib.sha256(i.to_bytes(4, "big")).digest() for i in range(100_000)
+    )  # 3.2 MB of incompressible bytes
+    assert len(gzip.compress(blob)) > warc._GZ_CHUNK
+    page = _pages(1)[0]
+    rec = warc.warc_record_bytes(page["url"], page["warc_ts"], blob, http_envelope=False)
+    tail = warc.warc_record_bytes("http://t/2", page["warc_ts"], b"<p>t</p>",
+                                  http_envelope=False)
+    data = gzip.compress(rec, mtime=0) + gzip.compress(tail, mtime=0)
+    pdf = warc.parse_warc_pages(data, extract_text=False)
+    assert len(pdf) == 2
+    assert bytes(pdf["html"][0]) == blob
+    assert bytes(pdf["html"][1]) == b"<p>t</p>"
+
+
+def test_empty_container_yields_no_rows():
+    assert len(warc.parse_warc_pages(b"")) == 0
+
+
 def test_bracketed_target_uri_strips_exactly_one_pair():
     ts = b"2026-01-01T00:00:00Z"
     rec = _response_record(b"<http://a/x>", ts, b"HTTP/1.1 200 OK", b"", b"<p>b</p>")
