@@ -115,9 +115,15 @@ def _mode_count_expr(col: str):
     web corpus (round-4 verdict #1). Same value by construction (max
     multiplicity == longest run in sorted order), so every hash-pinned
     oracle row is unchanged; the DuckDB twins keep the naive form — it
-    is value-identical and only ever runs at oracle scale (sf0.01)."""
+    is value-identical and only ever runs at oracle scale (sf0.01).
+
+    NULL elements are dropped BEFORE the fold: the naive form counts a
+    NULL element as 0 (``y = NULL`` filters to empty) while a null-safe
+    run comparison would count its run — today's callers build g1/g2/g3
+    NULL-free, but the equality claim above must not depend on that (an
+    all-NULL array therefore behaves like the empty array: NULL)."""
     return F.expr(
-        f"nullif(aggregate(array_sort({col}),"
+        f"nullif(aggregate(array_sort(filter({col}, x -> x IS NOT NULL)),"
         " named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),"
         " (a, x) -> named_struct("
         "   'prev', x,"
@@ -2496,13 +2502,32 @@ def sessionize_events(e: DataFrame, gap_sec: int = SESSION_GAP_SEC,
     full event rows through a second window sort; the aggregate branch
     ships only (user, chunk, t-list) partials with no sort. Group size is
     bounded by events-per-user-per-chunk, the same bound pass 1's window
-    task already carries. Assumes non-null t (the events schema contract;
-    a null t would sort first in pass 1 but be dropped by collect_list).
+    task already carries. Non-null t (the events schema contract) is
+    ENFORCED with a per-row raise_error — a null t would increment pass
+    1's local_no yet drop from pass 2's collect_list, silently shifting
+    every later session_no; the DuckDB twin mirrors the failure.
 
     The stitch join back to events is keyed (user_id, chunk) — the same
     bounded key as pass 1, so no step of the plan concentrates a monster
     user. Ties break on the unique event_id, deterministic under any
     partitioning."""
+    # the non-null-t contract enforced loudly (one map-side CASE, nothing
+    # vs the window cost): a NULL t would increment pass 1's local_no but
+    # drop out of pass 2's collect_list t-list, silently shifting every
+    # later session_no for that user — fail, don't drift (twin mirrors
+    # this with error() so the contract is engine-independent)
+    e = e.withColumn(
+        "t",
+        F.when(F.col("t").isNotNull(), F.col("t")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("sessionize_events: NULL t for event_id="),
+                    F.col("event_id").cast("string"),
+                    F.lit(" — non-null t is required for exact chunked numbering"),
+                )
+            )
+        ),
+    )
     e = e.withColumn("chunk", (F.col("t") / chunk_sec).cast("long"))
     w_c = Window.partitionBy("user_id", "chunk").orderBy("t", "event_id")
     gap = F.col("t") - F.lag("t").over(w_c)
@@ -2580,7 +2605,14 @@ def q_events_sessionize(spark, sf_dir) -> DataFrame:
 
 
 SQL_EVENTS_SESSIONIZE = f"""WITH e AS (
-  SELECT event_id, user_id, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t, value
+  -- NULL ts fails loudly on BOTH engines (sessionize_events raise_error
+  -- twin): the non-null-t contract is engine-independent
+  SELECT event_id, user_id,
+         CASE WHEN ts IS NULL
+              THEN CAST(error('sessionize twin: NULL ts for event_id=' ||
+                              CAST(event_id AS VARCHAR)) AS BIGINT)
+              ELSE CAST(epoch_us(ts) // 1000000 AS BIGINT) END AS t,
+         value
   FROM events),
 m AS (
   SELECT *, CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id)

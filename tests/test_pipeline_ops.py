@@ -358,6 +358,27 @@ def test_mode_count_sorted_run_equals_naive(spark):
         assert r["got"] == r["want"], (r["i"], r["got"], r["want"])
 
 
+def test_mode_count_ignores_null_elements(spark):
+    """NULL elements must not form a counted run (the naive form counts a
+    NULL element as 0): ['a', NULL, NULL, NULL] is mode-count 1, not 3.
+    An all-NULL array behaves like the empty array (NULL), documented."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.plans.entry_queries import _mode_count_expr
+
+    df = spark.createDataFrame(
+        [
+            (0, ["a", None, None, None], 1),
+            (1, [None, "b", "b", None, "c"], 2),
+            (2, [None, None], None),
+            (3, [], None),
+        ],
+        "i int, arr array<string>, want int",
+    )
+    for r in df.select("i", _mode_count_expr("arr").alias("got"), "want").collect():
+        assert r["got"] == r["want"], (r["i"], r["got"], r["want"])
+
+
 def test_quality_filter_100k_distinct_doc_completes_fast(spark, tmp_path):
     """Round-4 verdict #2 (the top-share quadratic): a near-cap page of
     100k DISTINCT tokens was the straggler shape — O(distinct × grams)
@@ -479,6 +500,34 @@ def test_sessionize_chunked_equals_fold_on_adversarial_layout(spark):
         for r in sessionize_events(df).collect()
     }
     assert got == _fold_sessions(rows, G)
+
+
+def test_sessionize_null_t_fails_loudly_on_both_engines(spark):
+    """Contract pin: a NULL event time must RAISE on both engines — in the
+    chunked plan a NULL t would increment pass 1's local_no but drop from
+    pass 2's t-list, silently shifting every later session_no for that
+    user, so drift is converted to failure (engine raise_error; DuckDB
+    twin error())."""
+    import duckdb
+
+    from searchengine_spark.plans.entry_queries import (
+        SQL_EVENTS_SESSIONIZE, sessionize_events)
+
+    df = spark.createDataFrame(
+        [("e1", "u1", 100, 1.0), ("e2", "u1", None, 1.0)],
+        "event_id string, user_id string, t long, value double")
+    with pytest.raises(Exception, match="NULL t for event_id=e2"):
+        sessionize_events(df).collect()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM (VALUES "
+        "(1, 'u1', TIMESTAMP '2026-01-01 00:00:00', 1.0), "
+        "(2, 'u1', CAST(NULL AS TIMESTAMP), 1.0)) "
+        "AS t(event_id, user_id, ts, value)"
+    )
+    with pytest.raises(Exception, match="NULL ts for event_id"):
+        con.execute(SQL_EVENTS_SESSIONIZE).fetchall()
 
 
 def test_sessionize_plan_has_no_bare_user_window(spark):
