@@ -7,7 +7,10 @@ The reference acquires pages by live HTTP fetch
 module reads those containers into the ``input_hint`` table shape
 ``(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)``
 so everything downstream (extraction T2, tokenize T6, index build A1-A6)
-is source-agnostic.
+is source-agnostic. WET containers (Common Crawl's extracted-text
+sidecar: ``conversion`` records, ``text/plain`` payloads) are read by the
+same reader — rows carry ``text`` directly with ``html`` NULL, feeding
+the index build's precomputed-text path without any extraction pass.
 
 Scale design
 ------------
@@ -79,8 +82,10 @@ PAGES_SCHEMA = StructType(
 _CRLF = b"\r\n"
 _HDR_END = b"\r\n\r\n"
 # WARC record types that carry a page payload we surface. `resource` is the
-# no-HTTP-envelope variant (payload is the document itself).
-_PAGE_TYPES = {b"response", b"resource"}
+# no-HTTP-envelope variant (payload is the document itself); `conversion`
+# is the WET layout (Common Crawl's extracted-text sidecar: payload is the
+# already-extracted text, so rows carry text directly and html NULL).
+_PAGE_TYPES = {b"response", b"resource", b"conversion"}
 
 
 class WarcFormatError(ValueError):
@@ -347,9 +352,20 @@ def _iter_page_rows(data: bytes, extract_text: bool) -> Iterator[dict]:
                 "page record missing WARC-Target-URI or WARC-Date "
                 f"(headers: {sorted(headers)[:8]})"
             )
-        status, payload = _http_payload(headers, body)
-        if status is not None and not (200 <= status < 300):
-            continue  # 404 pages / redirect stubs / 5xx are not corpus pages
+        wtype = headers[b"warc-type"]
+        if wtype == b"conversion":
+            # WET: the payload IS the extracted text; no html bytes exist
+            html, text = None, body.decode("utf-8", "replace")
+        else:
+            status, payload = _http_payload(headers, body)
+            if status is not None and not (200 <= status < 300):
+                continue  # 404 pages / redirect stubs / 5xx are not corpus pages
+            html = payload
+            text = (
+                extract_text_from_html(payload.decode("utf-8", "replace"))
+                if extract_text
+                else None
+            )
         url = uri.decode("utf-8", "replace")
         if url.startswith("<") and url.endswith(">"):
             url = url[1:-1]  # exactly ONE bracket pair (WARC 1.0 uri form)
@@ -357,12 +373,8 @@ def _iter_page_rows(data: bytes, extract_text: bool) -> Iterator[dict]:
         yield {
             "url": url,
             "warc_ts": _parse_warc_date(date),
-            "html": payload,
-            "text": (
-                extract_text_from_html(payload.decode("utf-8", "replace"))
-                if extract_text
-                else None
-            ),
+            "html": html,
+            "text": text,
             "lang": (
                 lang_raw.decode("ascii", "replace").split(",")[0].strip()
                 if lang_raw
@@ -408,38 +420,23 @@ def read_warc(
 
 
 # --------------------------------------------------------------------- write
-def warc_record_bytes(
-    url: str,
-    ts: dt.datetime,
-    html: bytes,
+def _record_bytes(
+    wtype: bytes, url: str, ts: dt.datetime, body: bytes, ctype: bytes,
     lang: str | None = None,
-    http_envelope: bool = True,
 ) -> bytes:
-    """One WARC/1.0 response record (deterministic: the record id is
-    urn:md5 of url+date, no UUIDs — test fixtures must be byte-stable).
-    Naive ``ts`` is taken as UTC (the engine's session timezone); aware
-    ``ts`` is converted before the Z-suffixed format is stamped. A CR/LF
-    in url or lang would inject header lines (the WARC analog of HTTP
-    response splitting) — rejected loudly."""
+    """One WARC/1.0 record (deterministic: the record id is urn:md5 of
+    type+url+date, no UUIDs — test fixtures must be byte-stable). Naive
+    ``ts`` is taken as UTC (the engine's session timezone); aware ``ts``
+    is converted before the Z-suffixed format is stamped. A CR/LF in url
+    or lang would inject header lines (the WARC analog of HTTP response
+    splitting) — rejected loudly."""
     for name, val in (("url", url), ("lang", lang)):
         if val is not None and ("\r" in val or "\n" in val):
             raise ValueError(f"{name} contains CR/LF (header injection): {val!r}")
     if ts.tzinfo is not None:
         ts = ts.astimezone(dt.timezone.utc).replace(tzinfo=None)
     date = ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode()
-    if http_envelope:
-        body = (
-            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n"
-            + b"Content-Length: " + str(len(html)).encode() + _HDR_END
-            + html
-        )
-        ctype = b"application/http; msgtype=response"
-        wtype = b"response"
-    else:
-        body = html
-        ctype = b"text/html"
-        wtype = b"resource"
-    rid = hashlib.md5(url.encode() + date).hexdigest()
+    rid = hashlib.md5(wtype + b":" + url.encode() + date).hexdigest()
     headers = [
         b"WARC/1.0",
         b"WARC-Type: " + wtype,
@@ -454,6 +451,34 @@ def warc_record_bytes(
     return _CRLF.join(headers) + _HDR_END + body + _HDR_END
 
 
+def warc_record_bytes(
+    url: str,
+    ts: dt.datetime,
+    html: bytes,
+    lang: str | None = None,
+    http_envelope: bool = True,
+) -> bytes:
+    """One response (HTTP-enveloped) or resource (bare-document) record."""
+    if http_envelope:
+        body = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n"
+            + b"Content-Length: " + str(len(html)).encode() + _HDR_END
+            + html
+        )
+        return _record_bytes(
+            b"response", url, ts, body, b"application/http; msgtype=response", lang
+        )
+    return _record_bytes(b"resource", url, ts, html, b"text/html", lang)
+
+
+def wet_record_bytes(
+    url: str, ts: dt.datetime, text: str, lang: str | None = None
+) -> bytes:
+    """One WET ``conversion`` record (Common Crawl's extracted-text
+    sidecar): the body is the already-extracted utf-8 text."""
+    return _record_bytes(b"conversion", url, ts, text.encode("utf-8"), b"text/plain", lang)
+
+
 def write_warc_bytes(
     pages: Iterable[dict], gzip_per_record: bool = True, mtime: int = 0
 ) -> bytes:
@@ -464,6 +489,24 @@ def write_warc_bytes(
     for page in pages:
         rec = warc_record_bytes(
             page["url"], page["warc_ts"], bytes(page["html"]), page.get("lang")
+        )
+        if gzip_per_record:
+            out.write(gzip.compress(rec, mtime=mtime))
+        else:
+            out.write(rec)
+    return out.getvalue()
+
+
+def write_wet_bytes(
+    pages: Iterable[dict], gzip_per_record: bool = True, mtime: int = 0
+) -> bytes:
+    """Rows (dicts with url/warc_ts/text/lang) → one WET container of
+    ``conversion`` records — the layout LLM-data pipelines consume when
+    they want Common Crawl's extracted text without the html bytes."""
+    out = io.BytesIO()
+    for page in pages:
+        rec = wet_record_bytes(
+            page["url"], page["warc_ts"], page["text"], page.get("lang")
         )
         if gzip_per_record:
             out.write(gzip.compress(rec, mtime=mtime))

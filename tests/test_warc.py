@@ -313,6 +313,43 @@ def test_bracketed_target_uri_strips_exactly_one_pair():
     assert list(pdf["url"]) == ["http://a/x", "http://a/y>"]
 
 
+def test_wet_roundtrip_and_mixed_container(spark, tmp_path):
+    """WET (`conversion` records): text survives byte-identically with
+    html NULL; a container mixing WARC response and WET conversion
+    records surfaces both."""
+    pages = _pages(6)
+    wet = warc.write_wet_bytes(pages[:3], gzip_per_record=True)
+    mixed = wet + warc.write_warc_bytes(pages[3:], gzip_per_record=True)
+    path = _write(tmp_path, "m.warc.gz", mixed)
+    got = {r["url"]: r for r in warc.read_warc(spark, path).collect()}
+    assert len(got) == 6
+    for p in pages[:3]:
+        r = got[p["url"]]
+        assert r["html"] is None
+        assert r["text"] == p["text"]
+        assert r["lang"] == p["lang"]
+    for p in pages[3:]:
+        assert bytes(got[p["url"]]["html"]) == bytes(p["html"])
+
+
+def test_wet_to_index_end_to_end(spark, tmp_path):
+    """WET text feeds the index build's precomputed-text path directly —
+    no extraction pass, same queries."""
+    from searchengine_spark.operators import shards
+    from searchengine_spark.plans.wand import WandSearchEngine
+
+    pages = _pages(30)
+    path = _write(tmp_path, "w.wet.gz", warc.write_wet_bytes(pages))
+    df = warc.read_warc(spark, path)
+    index = shards.build_and_write_sharded(spark, df, str(tmp_path / "wetidx"), n_shards=2)
+    assert index.n_docs == len(pages)
+    probe = [w for w in pages[11]["text"].split() if w.isalpha() and len(w) >= 6][0].lower()
+    res = WandSearchEngine(spark, index).search_batch(
+        [(0, probe)], top_k=5, with_metadata=False
+    )
+    assert res.count() >= 1
+
+
 def test_header_injection_rejected():
     page = _pages(1)[0]
     with pytest.raises(ValueError, match="header injection"):
