@@ -337,9 +337,10 @@ _COLS = ["url", "warc_ts", "html", "text", "lang"]
 
 def _iter_page_rows(data: bytes, extract_text: bool) -> Iterator[dict]:
     """Lazy page rows from container bytes. Only page-bearing records
-    (response with 2xx status / resource) produce rows. `lang` comes from
-    WARC-Identified-Content-Language (present in Common Crawl since
-    CC-MAIN-2018-39; first tag wins when multi-valued), else NULL."""
+    (response with 2xx status / resource / WET conversion) produce rows.
+    `lang` comes from WARC-Identified-Content-Language (present in Common
+    Crawl since CC-MAIN-2018-39; first tag wins when multi-valued), else
+    NULL."""
     from searchengine_spark.functions.textproc import extract_text_from_html
 
     for headers, body in iter_warc_records(data):
