@@ -256,7 +256,15 @@ def tokenize_documents(
                 titles.append(textproc.extract_title_from_html(html))
                 metas.append(textproc.extract_meta_description(html))
                 if use_precomputed_text and "text" in pdf.columns:
-                    contents.append(pdf["text"].iloc[i] or "")
+                    t = pdf["text"].iloc[i]
+                    if isinstance(t, str):
+                        contents.append(t)
+                    else:
+                        # NULL text means "not extracted yet" (e.g.
+                        # `ingest-warc --no-text`): fall back to the T2
+                        # kernel per row — silently indexing "" would build
+                        # a title/meta-only index with no error signal
+                        contents.append(textproc.extract_text_from_html(html))
                 else:
                     contents.append(textproc.extract_text_from_html(html))
             snippets = [textproc.make_snippet(c) for c in contents]

@@ -183,11 +183,12 @@ def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
     mv = memoryview(data)
     n = len(data)
     pos = 0
-    pending = b""  # plaintext bytes not yet forming a complete record
+    # plaintext bytes not yet forming a complete record; bytearray so the
+    # per-piece append is amortized O(1) and the drain trim is in-place
+    pending = bytearray()
     while pos < n:
         member_start = pos
         d = zlib.decompressobj(wbits=47)  # 32+15: gzip wrapper, one member
-        out = []
         while True:
             if pos >= n:
                 raise WarcFormatError(
@@ -195,35 +196,43 @@ def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
                 )
             piece = mv[pos : pos + _GZ_CHUNK]
             try:
-                out.append(d.decompress(piece))
+                chunk = d.decompress(piece)
             except zlib.error as e:
                 raise WarcFormatError(
                     f"gzip member at byte {member_start} is corrupt: {e}"
                 ) from e
+            if chunk:
+                pending += chunk
+                # drain complete records PER PIECE, not per member: a
+                # single-member gzip of a whole 1 GB container (legal,
+                # non-CC layout, tested) must not inflate entirely into
+                # `pending` before the first record is released — this
+                # keeps the documented O(largest record) plaintext bound
+                # for every layout. (In the CC per-record layout a member
+                # boundary is also a record boundary, so this drains at
+                # least once per member either way.)
+                drained = 0
+                for headers, body, consumed in _drain_complete(pending):
+                    yield headers, body
+                    drained = consumed
+                if drained:
+                    del pending[:drained]
             if d.eof:  # unused_data is bounded by the piece size, not the file
                 pos += len(piece) - len(d.unused_data)
                 break
             pos += len(piece)
-        pending += b"".join(out)
-        # a member boundary is a record boundary in the CC layout, but a
-        # single-member gzip of a whole multi-record file is also legal —
-        # drain every COMPLETE record, keep the tail for the next member
-        drained = 0
-        for headers, body, consumed in _drain_complete(pending):
-            yield headers, body
-            drained = consumed
-        if drained:
-            pending = pending[drained:]
-    if pending.strip(b"\r\n"):
+    if bytes(pending).strip(b"\r\n"):
         raise WarcFormatError(
             f"{len(pending)} plaintext bytes of an incomplete record at end of container"
         )
 
 
-def _drain_complete(buf: bytes) -> Iterator[tuple[dict, bytes, int]]:
+def _drain_complete(buf) -> Iterator[tuple[dict, bytes, int]]:
     """Like _iter_plain_records but stops SILENTLY at an incomplete tail
     record (more members may complete it); yields (headers, body,
-    buffer offset consumed through this record)."""
+    buffer offset consumed through this record). ``buf`` may be a
+    bytearray (the gzip path's append buffer) — headers and body are
+    materialized to bytes before they escape."""
     pos = 0
     n = len(buf)
     while pos < n:
@@ -238,18 +247,18 @@ def _drain_complete(buf: bytes) -> Iterator[tuple[dict, bytes, int]]:
         if not buf.startswith(b"WARC/", pos):
             raise WarcFormatError(
                 f"expected WARC/ version line at plaintext byte {pos}, "
-                f"got {buf[pos : pos + 20]!r}"
+                f"got {bytes(buf[pos : pos + 20])!r}"
             )
         hdr_end = buf.find(_HDR_END, pos)
         if hdr_end < 0:
             return  # header itself incomplete — wait for more members
         first_nl = buf.index(_CRLF, pos)
-        headers = _parse_headers(buf[first_nl + 2 : hdr_end], pos)
+        headers = _parse_headers(bytes(buf[first_nl + 2 : hdr_end]), pos)
         clen = _content_length(headers, pos)
         body_start = hdr_end + len(_HDR_END)
         if body_start + clen > n:
             return  # body incomplete — wait for more members
-        yield headers, buf[body_start : body_start + clen], body_start + clen
+        yield headers, bytes(buf[body_start : body_start + clen]), body_start + clen
         pos = body_start + clen
 
 
@@ -322,11 +331,15 @@ def _parse_warc_date(raw: bytes) -> dt.datetime:
     because the engine pins spark.sql.session.timeZone=UTC (session.py).
     An offset-less date (malformed but parseable) is taken AS UTC — never
     host-local, which would make the same container parse differently on
-    different executors."""
-    s = raw.decode("ascii").strip()
-    if s.endswith("Z"):
-        s = s[:-1] + "+00:00"
-    d = dt.datetime.fromisoformat(s)
+    different executors. An unparseable date raises WarcFormatError (the
+    one documented malformed-container signal), not a bare ValueError."""
+    try:
+        s = raw.decode("ascii").strip()
+        if s.endswith("Z"):
+            s = s[:-1] + "+00:00"
+        d = dt.datetime.fromisoformat(s)
+    except (UnicodeDecodeError, ValueError) as e:
+        raise WarcFormatError(f"unparseable WARC-Date {raw[:40]!r}: {e}") from e
     if d.tzinfo is None:
         return d
     return d.astimezone(dt.timezone.utc).replace(tzinfo=None)
@@ -358,6 +371,18 @@ def _iter_page_rows(data: bytes, extract_text: bool) -> Iterator[dict]:
             # WET: the payload IS the extracted text; no html bytes exist
             html, text = None, body.decode("utf-8", "replace")
         else:
+            if wtype == b"response" and not (
+                headers.get(b"content-type", b"").lower().startswith(b"application/http")
+            ):
+                # a response record MUST carry an HTTP message (ISO 28500
+                # §6.3.2); passing its body through whole would index raw
+                # envelope bytes AND bypass the 2xx filter — fail, don't
+                # corrupt (resource records are the pass-through form)
+                raise WarcFormatError(
+                    "response record without application/http Content-Type "
+                    f"(got {headers.get(b'content-type', b'')[:40]!r}) for "
+                    f"{uri.decode('utf-8', 'replace')}"
+                )
             status, payload = _http_payload(headers, body)
             if status is not None and not (200 <= status < 300):
                 continue  # 404 pages / redirect stubs / 5xx are not corpus pages
@@ -480,22 +505,29 @@ def wet_record_bytes(
     return _record_bytes(b"conversion", url, ts, text.encode("utf-8"), b"text/plain", lang)
 
 
-def write_warc_bytes(
-    pages: Iterable[dict], gzip_per_record: bool = True, mtime: int = 0
-) -> bytes:
-    """Rows (dicts with url/warc_ts/html/lang) → one WARC container.
-    ``gzip_per_record=True`` is the Common-Crawl layout (one gzip member
-    per record); mtime pinned so output is byte-deterministic."""
+def _write_container(pages, rec_fn, gzip_per_record: bool, mtime: int) -> bytes:
+    """Shared container framing: one record per page row, optionally one
+    gzip member per record (the Common-Crawl layout); mtime pinned so
+    output is byte-deterministic."""
     out = io.BytesIO()
     for page in pages:
-        rec = warc_record_bytes(
-            page["url"], page["warc_ts"], bytes(page["html"]), page.get("lang")
-        )
+        rec = rec_fn(page)
         if gzip_per_record:
             out.write(gzip.compress(rec, mtime=mtime))
         else:
             out.write(rec)
     return out.getvalue()
+
+
+def write_warc_bytes(
+    pages: Iterable[dict], gzip_per_record: bool = True, mtime: int = 0
+) -> bytes:
+    """Rows (dicts with url/warc_ts/html/lang) → one WARC container."""
+    return _write_container(
+        pages,
+        lambda p: warc_record_bytes(p["url"], p["warc_ts"], bytes(p["html"]), p.get("lang")),
+        gzip_per_record, mtime,
+    )
 
 
 def write_wet_bytes(
@@ -504,13 +536,8 @@ def write_wet_bytes(
     """Rows (dicts with url/warc_ts/text/lang) → one WET container of
     ``conversion`` records — the layout LLM-data pipelines consume when
     they want Common Crawl's extracted text without the html bytes."""
-    out = io.BytesIO()
-    for page in pages:
-        rec = wet_record_bytes(
-            page["url"], page["warc_ts"], page["text"], page.get("lang")
-        )
-        if gzip_per_record:
-            out.write(gzip.compress(rec, mtime=mtime))
-        else:
-            out.write(rec)
-    return out.getvalue()
+    return _write_container(
+        pages,
+        lambda p: wet_record_bytes(p["url"], p["warc_ts"], p["text"], p.get("lang")),
+        gzip_per_record, mtime,
+    )

@@ -313,6 +313,64 @@ def test_bracketed_target_uri_strips_exactly_one_pair():
     assert list(pdf["url"]) == ["http://a/x", "http://a/y>"]
 
 
+def test_no_text_ingest_reextracts_at_build(spark, tmp_path):
+    """`ingest-warc --no-text` leaves text NULL; the index build must then
+    fall back to T2 extraction per row instead of silently indexing ""
+    (which would build a title/meta-only index with no error signal) —
+    content-word queries over the built index must still hit."""
+    from searchengine_spark import cli
+    from searchengine_spark.operators import shards
+    from searchengine_spark.plans.wand import WandSearchEngine
+
+    pages = _pages(20)
+    seg = tmp_path / "segs"
+    seg.mkdir()
+    _write(seg, "s.warc.gz", warc.write_warc_bytes(pages))
+    out = tmp_path / "pages_nt"
+    assert cli.main(["ingest-warc", "--input", str(seg), "--out", str(out),
+                     "--no-text"]) == 0
+    pq = spark.read.parquet(str(out))
+    assert pq.filter("text IS NULL").count() == 20
+    index = shards.build_and_write_sharded(spark, pq, str(tmp_path / "ntidx"), n_shards=2)
+    # decisive check: the NULL-text build must equal a precomputed-text
+    # build on avgdl (a ""-content build collapses to title/meta-only
+    # doc lengths, an order of magnitude smaller)
+    out2 = tmp_path / "pages_wt"
+    assert cli.main(["ingest-warc", "--input", str(seg), "--out", str(out2)]) == 0
+    index_wt = shards.build_and_write_sharded(
+        spark, spark.read.parquet(str(out2)), str(tmp_path / "wtidx"), n_shards=2
+    )
+    assert index.n_docs == index_wt.n_docs == 20
+    assert abs(index.avgdl - index_wt.avgdl) < 1e-9, (index.avgdl, index_wt.avgdl)
+    res = WandSearchEngine(spark, index).search_batch(
+        [(0, "make")], top_k=5, with_metadata=False
+    )
+    assert res.count() >= 0  # smoke: the index is queryable
+
+
+def test_response_without_http_content_type_fails_loudly():
+    """A response record MUST carry application/http (ISO 28500 §6.3.2) —
+    passing its body through would index raw envelope bytes and bypass
+    the 2xx filter."""
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n"
+           b"WARC-Target-URI: http://a/\r\nContent-Type: text/html\r\n"
+           b"Content-Length: 30\r\n\r\nHTTP/1.1 200 OK\r\n\r\n<p>body</p>\r\n\r\n")
+    with pytest.raises(warc.WarcFormatError, match="without application/http"):
+        warc.parse_warc_pages(rec)
+
+
+def test_unparseable_warc_date_raises_format_error():
+    """Date errors must surface as WarcFormatError (the documented
+    malformed-container signal), not a bare ValueError."""
+    page = _pages(1)[0]
+    rec = warc.warc_record_bytes(page["url"], page["warc_ts"], b"<p>x</p>")
+    rec = rec.replace(
+        page["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ").encode(), b"not-a-date--"
+    )
+    with pytest.raises(warc.WarcFormatError, match="unparseable WARC-Date"):
+        warc.parse_warc_pages(rec)
+
+
 def test_wet_roundtrip_and_mixed_container(spark, tmp_path):
     """WET (`conversion` records): text survives byte-identically with
     html NULL; a container mixing WARC response and WET conversion
