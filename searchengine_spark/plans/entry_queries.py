@@ -1453,6 +1453,95 @@ ORDER BY d.doc_id"""
 )
 
 
+# ---------------------------------------------------------------- pagerank
+# Deterministic synthetic link graph over the documents table (no URL
+# column exists in the testdata, so the graph is derived from doc ids with
+# pure integer arithmetic — bit-identical on both engines; the REAL
+# pages→extract_links→pagerank chain is exercised in tests/test_graph.py
+# over the webgen corpus). Three out-arms per doc, every 17th doc stripped
+# of its out-links so the dangling-mass redistribution path is live.
+PR_ITERATIONS = 5
+PR_DAMPING = 0.85
+
+
+def q_pagerank(spark, sf_dir) -> DataFrame:
+    """Fixed-iteration damped PageRank (plans/graph.py:pagerank) over a
+    deterministic synthetic link graph on ``documents``: per doc ``d`` the
+    out-arms are ``(31d+7) % N``, ``(17d+3) % N``, ``(d+1) % N`` (distinct,
+    self-loops dropped), and docs with ``d % 17 == 0`` keep NO out-links —
+    live dangling nodes. 5 iterations at damping 0.85; rank mass sums to
+    exactly 1 by the stochastic completion. Scale shape documented on the
+    operator: per round one src-keyed hash join + one dst-keyed map-side-
+    combined agg + a scalar dangling aggregate; head-term skew lands on
+    the aggregation key only."""
+    from searchengine_spark.plans import graph
+
+    docs = _documents(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    d = F.col("doc_id")
+    edges = (
+        docs.filter(d % 17 != 0)
+        .select(
+            d.alias("src"),
+            F.explode(
+                F.array(
+                    ((d * 31 + 7) % n).cast("long"),
+                    ((d * 17 + 3) % n).cast("long"),
+                    ((d + 1) % n).cast("long"),
+                )
+            ).alias("dst"),
+        )
+    )
+    pr = graph.pagerank(
+        edges, nodes=docs, iterations=PR_ITERATIONS, damping=PR_DAMPING
+    )
+    return pr.select(
+        F.col("node").alias("doc_id"), F.round("pr", 8).alias("pr")
+    )
+
+
+def _build_pagerank_sql(iterations: int, damping: float) -> str:
+    """DuckDB twin with the iteration loop UNROLLED into CTEs r0..rK —
+    same edge construction, same dangling redistribution, same base term.
+    Float literals are interpolated from the exact Python doubles the
+    engine uses, so the only cross-engine divergence is summation order
+    (~1e-16 relative), absorbed by the shared ROUND(pr, 8)."""
+    base = repr((1.0 - damping))
+    damp = repr(damping)
+    parts = [
+        """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+uni AS (SELECT doc_id AS node FROM documents),
+e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id*31+7) % (SELECT n FROM nn) AS dst FROM documents
+    UNION ALL SELECT doc_id, (doc_id*17+3) % (SELECT n FROM nn) FROM documents
+    UNION ALL SELECT doc_id, (doc_id+1) % (SELECT n FROM nn) FROM documents)
+  WHERE src % 17 <> 0 AND dst <> src),
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS pr FROM uni)"""
+    ]
+    for t in range(iterations):
+        parts.append(
+            f""",
+d{t} AS (SELECT COALESCE(SUM(pr), 0) AS m FROM r{t}
+         WHERE node NOT IN (SELECT src FROM deg)),
+c{t} AS (SELECT e.dst AS node, SUM(r.pr / deg.deg) AS c
+         FROM e JOIN r{t} r ON r.node = e.src JOIN deg ON deg.src = e.src
+         GROUP BY e.dst),
+r{t + 1} AS (SELECT u.node,
+           {base}/(SELECT n FROM nn)
+           + {damp} * (COALESCE(c.c, 0) + (SELECT m FROM d{t})/(SELECT n FROM nn)) AS pr
+           FROM uni u LEFT JOIN c{t} c ON c.node = u.node)"""
+        )
+    parts.append(
+        f"\nSELECT node AS doc_id, ROUND(pr, 8) AS pr FROM r{iterations}"
+    )
+    return "".join(parts)
+
+
+SQL_PAGERANK = _build_pagerank_sql(PR_ITERATIONS, PR_DAMPING)
+
+
 SQL_ANN_LSH_BUCKETED = f"""WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 b AS (SELECT vec_id, v, {_SQL_BUCKET} AS bucket FROM e),
@@ -2681,6 +2770,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "dedup_clusters": q_dedup_clusters,
     "dedup_materialize": q_dedup_materialize,
+    "pagerank": q_pagerank,
     "ann_ivf_probe": q_ann_ivf_probe,
     "ann_pq": q_ann_pq,
     "ann_ivfpq": q_ann_ivfpq,
@@ -2732,6 +2822,7 @@ ORACLE_SQL = {
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_materialize": SQL_DEDUP_MATERIALIZE,
+    "pagerank": SQL_PAGERANK,
     "ann_ivf_probe": SQL_ANN_IVF_PROBE,
     "ann_pq": SQL_ANN_PQ,
     "ann_ivfpq": SQL_ANN_IVFPQ,

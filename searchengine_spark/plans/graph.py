@@ -274,6 +274,122 @@ def connected_components(
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+    nodes: DataFrame | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed link graph — the classic
+    web-scale link-authority score (Page et al. 1999) over the graph that
+    F5 link extraction (plans/classify.py:245) produces from a crawled
+    corpus. The reference ranks purely lexically (BM25/TF-IDF,
+    indexer.py:376-443); at web scale a link prior is the standard
+    complement, and it is exactly the kind of iterative keyed-agg job the
+    engine's CC machinery above already models.
+
+    Semantics (the exact contract the DuckDB twin mirrors):
+
+    * the node universe is ``nodes`` (a one-column frame) if given, else
+      the distinct endpoints of ``edges``; ranks are defined for every
+      universe node, including isolated ones;
+    * edges are deduplicated and self-loops dropped; out-degree counts the
+      distinct non-self out-links;
+    * ``r_0(v) = 1/N``;
+    * each of the ``iterations`` rounds computes, with ``d = damping``::
+
+          r_{t+1}(v) = (1-d)/N + d * ( sum_{(u,v) in E} r_t(u)/deg(u)
+                                       + dangling_t / N )
+
+      where ``dangling_t`` is the total rank mass sitting on zero-out-
+      degree nodes that round (redistributed uniformly, the standard
+      stochastic-matrix completion — total mass stays exactly 1).
+
+    Returns ``(node, pr)``, one row per universe node, ``pr`` a double.
+
+    Scale shape: the edge frame is joined with its out-degree ONCE and the
+    result persisted — each iteration then pays one hash join of the rank
+    frame (|nodes| rows) against it keyed on ``src`` plus one map-side-
+    combined hash agg keyed on ``dst``; the dangling mass is a single
+    scalar aggregate per round (a one-row collect, never a driver loop
+    over data). Lineage is truncated with an eager localCheckpoint per
+    round, same as the CC loop above. Head-term skew (a page every other
+    page links to, e.g. a site home) lands on the ``dst`` AGGREGATION key,
+    where partial aggregation absorbs it map-side — there is deliberately
+    no join keyed on ``dst`` anywhere in the loop.
+    """
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    if not (0.0 <= damping <= 1.0):
+        raise ValueError(f"damping must be in [0, 1], got {damping}")
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    if nodes is not None:
+        universe = nodes.select(
+            F.col(nodes.columns[0]).alias("node")
+        ).distinct()
+        # an edge endpoint outside an explicit universe would leak rank
+        # mass in or out, breaking sum(pr)=1 — restrict to universe×universe
+        e = e.join(universe.select(F.col("node").alias("u")), "u").join(
+            universe.select(F.col("node").alias("v")), "v"
+        )
+    else:
+        universe = (
+            e.select(F.col("u").alias("node"))
+            .union(e.select(F.col("v").alias("node")))
+            .distinct()
+        )
+    universe = universe.localCheckpoint(eager=True)
+    n = universe.count()
+    if n == 0:
+        return universe.withColumn("pr", F.lit(0.0))
+    deg = e.groupBy("u").agg(F.count("*").alias("deg"))
+    # one persisted (u, v, deg) frame — the loop's only big operand
+    ew = e.join(deg, "u").localCheckpoint(eager=True)
+    dangling_nodes = universe.join(
+        deg.select(F.col("u").alias("node")), "node", "left_anti"
+    ).localCheckpoint(eager=True)
+
+    ranks = universe.withColumn("pr", F.lit(1.0 / n)).localCheckpoint(
+        eager=True
+    )
+    base = (1.0 - damping) / n
+    for it in range(iterations):
+        dang = (
+            ranks.join(dangling_nodes, "node")
+            .agg(F.sum("pr"))
+            .collect()[0][0]
+            or 0.0
+        )
+        contrib = (
+            ew.join(ranks.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            universe.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dang / n))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if stats is not None:
+            stats["rounds"] = it + 1
+            stats["dangling_mass"] = dang
+    return ranks
+
+
 def dedup_clusters(
     pairs: DataFrame, id_a: str = "vec_a", id_b: str = "vec_b"
 ) -> DataFrame:

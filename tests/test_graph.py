@@ -141,3 +141,106 @@ def test_dedup_clusters_canonical_contract(spark):
         "left_anti",
     )
     assert keep.count() == 40 - 3
+
+
+# ---------------------------------------------------------------- pagerank
+
+
+def _pr_reference(edges, universe, iterations=5, d=0.85):
+    """Pure-Python PageRank loop — the operator's documented contract."""
+    E = sorted({(u, v) for u, v in edges if u != v
+                and u in universe and v in universe})
+    outd = {}
+    for u, _ in E:
+        outd[u] = outd.get(u, 0) + 1
+    n = len(universe)
+    r = {v: 1.0 / n for v in universe}
+    for _ in range(iterations):
+        dang = sum(r[v] for v in universe if v not in outd)
+        new = {v: (1 - d) / n + d * (dang / n) for v in universe}
+        for u, v in E:
+            new[v] += d * r[u] / outd[u]
+        r = new
+    return r
+
+
+PR_CASES = {
+    "cycle_with_dangling": [(0, 1), (0, 2), (1, 2), (2, 0), (1, 3)],
+    "chain": [(i, i + 1) for i in range(8)],
+    "star_hub": [(i, 0) for i in range(1, 12)] + [(0, 1)],
+    "dup_edges_self_loops": [(0, 1), (0, 1), (1, 1), (1, 2), (2, 0)],
+}
+
+
+@pytest.mark.parametrize("name", sorted(PR_CASES))
+def test_pagerank_matches_reference_loop(spark, name):
+    edges = PR_CASES[name]
+    universe = sorted({x for e in edges for x in e} | {99})  # 99 isolated
+    nodes = spark.createDataFrame([(v,) for v in universe], "node long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["pr"]
+           for r in graph.pagerank(e, nodes=nodes, iterations=5).collect()}
+    want = _pr_reference(edges, universe)
+    assert set(got) == set(want)
+    for v in universe:
+        assert abs(got[v] - want[v]) < 1e-12, (name, v, got[v], want[v])
+    # stochastic completion: total rank mass is exactly 1
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_zero_iterations_is_uniform(spark):
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    got = {r["node"]: r["pr"] for r in graph.pagerank(e, iterations=0).collect()}
+    assert got == {0: 0.5, 1: 0.5}
+
+
+def test_pagerank_explicit_universe_restricts_edges(spark):
+    # endpoint 7 is outside the universe: its edges must not leak mass
+    e = spark.createDataFrame([(0, 1), (1, 7), (7, 0)], "src long, dst long")
+    nodes = spark.createDataFrame([(0,), (1,)], "node long")
+    got = {r["node"]: r["pr"]
+           for r in graph.pagerank(e, nodes=nodes, iterations=4).collect()}
+    want = _pr_reference([(0, 1)], [0, 1], iterations=4)
+    assert set(got) == {0, 1}
+    for v in (0, 1):
+        assert abs(got[v] - want[v]) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_validation(spark):
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="iterations"):
+        graph.pagerank(e, iterations=-1)
+    with pytest.raises(ValueError, match="damping"):
+        graph.pagerank(e, damping=1.5)
+
+
+def test_pagerank_real_link_graph_end_to_end(spark):
+    """The production chain: webgen pages → F5 outlinks (Arrow pass +
+    JVM explode) → pagerank over URL nodes, checked value-for-value
+    against the pure-Python loop on the same extracted edges."""
+    from searchengine_spark.plans.classify import outlinks
+    from searchengine_spark.sources import webgen
+
+    pages = webgen.generate_spark(spark, 120, partitions=4).select(
+        "url", "html"
+    )
+    urls = [r["url"] for r in pages.select("url").collect()]
+    edges_df = outlinks(pages)
+    edges = [(r["src_url"], r["out_url"]) for r in edges_df.collect()]
+    assert edges, "webgen corpus must produce real <a href> links"
+    got = {
+        r["node"]: r["pr"]
+        for r in graph.pagerank(
+            edges_df,
+            src="src_url",
+            dst="out_url",
+            nodes=pages.select("url"),
+            iterations=4,
+        ).collect()
+    }
+    want = _pr_reference(edges, sorted(set(urls)), iterations=4)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9
