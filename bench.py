@@ -737,6 +737,132 @@ def run_cc_bench(cpus: int = CPUS) -> dict:
     }
 
 
+PR_BENCH_NODES = int(os.environ.get("SPARK_GRAFT_PR_NODES", "1000000"))
+PR_BENCH_ITERS = int(os.environ.get("SPARK_GRAFT_PR_ITERS", "5"))
+
+
+def run_pagerank_bench(cpus: int = CPUS) -> dict:
+    """PageRank at adversarial scale: a PR_BENCH_NODES-node web-shaped
+    graph — chain arm + two mixing hash arms (~3 out-links/node), every
+    13th node ALSO linking to node 0 (a ~N/13-in-degree hub: head-page
+    skew lands on the dst aggregation key, where map-side partial agg
+    absorbs it — the shape the operator docstring claims to handle), and
+    every 17th node stripped of out-links (live dangling mass at scale).
+
+    Protocol: graph cached before timing; one 1-iteration run unmeasured
+    (codegen/JIT warm-up — the loop is pure JVM, no Python workers), then
+    the measured PR_BENCH_ITERS-iteration run. Records wall, edges/sec
+    (edges × iterations / wall — each iteration joins + aggregates the
+    full edge frame), final dangling mass, and asserts mass conservation
+    and that the hub is the top-ranked node."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.plans import graph
+    from searchengine_spark.plans.session import get_spark
+
+    n = PR_BENCH_NODES
+    spark = get_spark(
+        "bench-pagerank", master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    ids = spark.range(n).repartition(max(cpus, 8))
+    edges = (
+        ids.select(
+            F.col("id").alias("src"),
+            F.explode(
+                F.array(
+                    (F.col("id") + 1) % n,
+                    (F.col("id") * 31 + 7) % n,
+                    (F.col("id") * 17 + 3) % n,
+                )
+            ).alias("dst"),
+        )
+        .filter(F.col("src") % 17 != 0)
+        .unionByName(
+            ids.filter((F.col("id") % 13 == 0) & (F.col("id") % 17 != 0))
+            .select(F.col("id").alias("src"), F.lit(0).cast("long").alias("dst"))
+        )
+    )
+    edges.cache()
+    n_edges = edges.count()
+    nodes = ids.select(F.col("id").alias("node"))
+
+    # bucketed edge table is the production path (exchange-free edge scans
+    # in every iteration); SPARK_GRAFT_PR_NO_BUCKET=1 A/Bs the plain path
+    bucket = (
+        None
+        if os.environ.get("SPARK_GRAFT_PR_NO_BUCKET")
+        else "_bench_pagerank_edges"
+    )
+    # warm-up runs the SAME path as the measurement (codegen/JIT; and the
+    # plain path's 46M-row edge checkpoint would OOM a heap the bucketed
+    # path fits in — the warm-up must not impose the other path's floor)
+    graph.pagerank(
+        edges, nodes=nodes, iterations=1,
+        bucket_table=bucket, n_buckets=max(cpus, 8),
+    ).count()
+    t0 = time.time()
+    pr = graph.pagerank(
+        edges, nodes=nodes, iterations=PR_BENCH_ITERS,
+        bucket_table=bucket, n_buckets=max(cpus, 8),
+    )
+    agg = pr.agg(
+        F.count("*").alias("n"), F.sum("pr").alias("mass")
+    ).collect()[0]
+    wall = round(time.time() - t0, 3)
+    assert int(agg["n"]) == n and abs(float(agg["mass"]) - 1.0) < 1e-6, agg
+    top = pr.orderBy(F.desc("pr")).limit(1).collect()[0]
+    assert int(top["node"]) == 0, f"hub not top-ranked: {top}"
+    # final rank mass on the stripped (dangling) nodes — outside the timed
+    # window; evidences the dangling path is live at scale
+    dang_mass = float(
+        pr.filter(F.col("node") % 17 == 0).agg(F.sum("pr")).collect()[0][0]
+    )
+    edges.unpersist()
+    return {
+        "metric": "pagerank_wall",
+        "value": wall,
+        "unit": "sec",
+        "nodes": n,
+        "edges": n_edges,
+        "iterations": PR_BENCH_ITERS,
+        "edges_per_sec": round(n_edges * PR_BENCH_ITERS / wall, 1),
+        "hub_pr": round(float(top["pr"]), 6),
+        "dangling_mass": round(dang_mass, 6),
+        "cpus": cpus,
+    }
+
+
+def run_pagerank_scaling() -> dict:
+    """North-rule two-parallelism protocol applied to the PageRank loop
+    (same graph, local[N] vs local[4N], fresh process per arm, best of
+    SCALING_REPEATS on edges/sec). Unlike the WARC parse this job is ALL
+    shuffle (a src-keyed join + a dst-keyed agg per iteration), so its
+    efficiency probes the exchange path under the hub/dangling skew."""
+    lo, hi = SCALING_CPUS
+    best: dict[int, dict] = {}
+    for _ in range(SCALING_REPEATS):
+        for cpus in (lo, hi):
+            res = _scaling_arm("pagerank", cpus, {}, ("--pagerank",))
+            if cpus not in best or res["edges_per_sec"] > best[cpus]["edges_per_sec"]:
+                best[cpus] = res
+    eps_lo = best[lo]["edges_per_sec"]
+    eps_hi = best[hi]["edges_per_sec"]
+    return {
+        "metric": f"pagerank_scaling_efficiency_{lo}_to_{hi}",
+        "value": round((eps_hi / eps_lo) / (hi / lo), 3),
+        "unit": "ratio",
+        "edges_per_sec": {f"local[{lo}]": eps_lo, f"local[{hi}]": eps_hi},
+        "wall_sec": {
+            f"local[{lo}]": best[lo]["value"],
+            f"local[{hi}]": best[hi]["value"],
+        },
+        "nodes": best[lo]["nodes"],
+        "edges": best[lo]["edges"],
+        "iterations": best[lo]["iterations"],
+    }
+
+
 if __name__ == "__main__":
     if os.environ.get("SPARK_GRAFT_QUERY_INDEX"):
         print(
@@ -754,6 +880,10 @@ if __name__ == "__main__":
         print(json.dumps(run_delete_bench()))
     elif "--cc" in sys.argv:
         print(json.dumps(run_cc_bench()))
+    elif "--pagerank-scaling" in sys.argv:
+        print(json.dumps(run_pagerank_scaling()))
+    elif "--pagerank" in sys.argv:
+        print(json.dumps(run_pagerank_bench()))
     elif "--warc-scaling" in sys.argv:
         print(json.dumps(run_warc_scaling()))
     elif "--warc" in sys.argv:

@@ -213,6 +213,40 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_linkrank(args) -> int:
+    """Link-graph signals over a pages table: F5 outlinks → fixed-iteration
+    damped PageRank per url (plans/graph.py:pagerank, bucketed edge table)
+    and, with --anchors, the anchor-term aggregation per target
+    (plans/classify.py:anchor_term_counts)."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.plans import classify, graph
+
+    spark = _spark(args)
+    pages = _read_pages(spark, args)
+    pr = graph.pagerank(
+        classify.outlinks(pages),
+        src="src_url",
+        dst="out_url",
+        nodes=pages.select("url"),
+        iterations=args.iterations,
+        damping=args.damping,
+        bucket_table="_cli_linkrank_edges",
+        n_buckets=args.partitions,
+    ).select(F.col("node").alias("url"), "pr")
+    pr.write.mode("overwrite").parquet(f"{args.out}/pagerank")
+    out = {"pagerank_rows": spark.read.parquet(f"{args.out}/pagerank").count()}
+    if args.anchors:
+        classify.anchor_term_counts(pages).write.mode("overwrite").parquet(
+            f"{args.out}/anchor_terms"
+        )
+        out["anchor_term_rows"] = spark.read.parquet(
+            f"{args.out}/anchor_terms"
+        ).count()
+    print(json.dumps({**out, "path": args.out}))
+    return 0
+
+
 def cmd_verify(args) -> int:
     """Index-artifact integrity (reference verify_index.py:23-89 analog)."""
     from searchengine_spark.operators import index_build
@@ -307,6 +341,19 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--doc-ids", nargs="*", dest="doc_ids", default=[])
     d.add_argument("--urls", nargs="*", default=[])
     d.set_defaults(fn=cmd_delete)
+
+    lr = sub.add_parser(
+        "linkrank", help="pagerank (+ --anchors anchor terms) over a pages table"
+    )
+    lr.add_argument("--input", required=True)
+    lr.add_argument("--input-format", choices=["parquet", "warc"], default="parquet")
+    lr.add_argument("--out", required=True)
+    lr.add_argument("--iterations", type=int, default=5)
+    lr.add_argument("--damping", type=float, default=0.85)
+    lr.add_argument("--partitions", type=int, default=32)
+    lr.add_argument("--anchors", action="store_true",
+                    help="also write (dst_url, term) anchor-text aggregation")
+    lr.set_defaults(fn=cmd_linkrank)
 
     v = sub.add_parser("verify", help="index artifact integrity check")
     v.add_argument("--index", required=True)

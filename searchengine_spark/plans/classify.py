@@ -242,25 +242,33 @@ def _classify_one(url: str, html: str):
 _RE_HREF = re.compile(r"""<a\b[^>]*\bhref\s*=\s*("([^"]*)"|'([^']*)')""", re.IGNORECASE)
 
 
-def extract_links(url: str, html: str) -> list[str]:
-    """All <a href> targets resolved against the page url, http(s)-only,
-    fragments dropped, query strings kept (crawler.py:159-191 semantics
-    via urljoin/urlparse — the same stdlib calls the reference makes)."""
+def _resolve_href(base_url: str, href: str) -> str | None:
+    """href → absolute http(s) url, fragment dropped, query kept
+    (crawler.py:159-191 semantics via urljoin/urlparse — the same stdlib
+    calls the reference makes); None for non-web / unparseable targets."""
     from urllib.parse import urljoin, urlparse
 
+    try:
+        p = urlparse(urljoin(base_url, href))
+    except Exception:
+        return None
+    if p.scheme not in ("http", "https") or not p.netloc:
+        return None
+    clean = f"{p.scheme}://{p.netloc}{p.path}"
+    if p.query:
+        clean += f"?{p.query}"
+    return clean
+
+
+def extract_links(url: str, html: str) -> list[str]:
+    """All <a href> targets resolved against the page url, http(s)-only,
+    fragments dropped, query strings kept."""
     links = []
     for m in _RE_HREF.finditer(html):
         href = m.group(2) if m.group(2) is not None else m.group(3)
-        try:
-            full = urljoin(url, href)
-            p = urlparse(full)
-            if p.scheme in ("http", "https") and p.netloc:
-                clean = f"{p.scheme}://{p.netloc}{p.path}"
-                if p.query:
-                    clean += f"?{p.query}"
-                links.append(clean)
-        except Exception:
-            continue
+        full = _resolve_href(url, href)
+        if full is not None:
+            links.append(full)
     return links
 
 
@@ -285,6 +293,100 @@ def outlinks(pages: DataFrame) -> DataFrame:
     linked = pages.mapInPandas(run, "url string, links array<string>")
     return linked.select(
         F.col("url").alias("src_url"), F.explode("links").alias("out_url")
+    )
+
+
+# anchor text: the inner text of a complete, well-formed <a ...>...</a>
+# element (non-greedy to the nearest close tag). Pathological markup — an
+# unclosed <a>, overlapping anchors — simply yields no match for that
+# link: anchor text is a best-effort SIGNAL extractor, never a parser of
+# record (T2 extraction is the byte-pinned parser; this is deliberately
+# lighter, like production anchor harvesters).
+_RE_ANCHOR = re.compile(
+    r"""<a\b[^>]*\bhref\s*=\s*("([^"]*)"|'([^']*)')[^>]*>(.*?)</a\s*>""",
+    re.IGNORECASE | re.DOTALL,
+)
+_RE_INNER_TAG = re.compile(r"<[^>]+>")
+
+
+def extract_anchor_texts(url: str, html: str) -> list[tuple[str, str]]:
+    """(target_url, anchor_text) per well-formed <a href> element: target
+    resolved exactly like :func:`extract_links`; anchor text is the inner
+    fragment with tags stripped, entities unescaped, whitespace collapsed.
+    Empty anchors (image links, spacer anchors) are kept with text '' so
+    callers can still count the in-link."""
+    import html as html_mod
+
+    out = []
+    for m in _RE_ANCHOR.finditer(html):
+        href = m.group(2) if m.group(2) is not None else m.group(3)
+        full = _resolve_href(url, href)
+        if full is None:
+            continue
+        inner = _RE_INNER_TAG.sub(" ", m.group(4))
+        text = " ".join(html_mod.unescape(inner).split())
+        out.append((full, text))
+    return out
+
+
+def anchor_term_counts(
+    pages: DataFrame, stopwords: frozenset[str] | None = None
+) -> DataFrame:
+    """Anchor-text aggregation — the second classic link-graph signal next
+    to :func:`searchengine_spark.plans.graph.pagerank`: the terms OTHER
+    pages use when linking to a target describe the target better than its
+    own boilerplate (the reason web engines index anchor text as a field).
+    Returns ``(dst_url, term, n_occurrences, n_anchors)`` where ``term``
+    runs through the engine's own normalization (tokenize → stopword
+    filter → Porter stem, the T6 kernel — so anchor terms join directly
+    against index/query terms) and ``n_anchors`` counts the distinct
+    anchor ELEMENTS that contained the term at least once.
+
+    Scale shape: one Arrow extraction pass (map-only, the same shape as
+    ``outlinks``), JVM-side explode, then ONE hash agg keyed on
+    ``(dst_url, term)``. A head page with 10⁹ in-links lands on the
+    AGGREGATION key, where map-side partial agg absorbs it — there is no
+    join anywhere, and nothing pairwise."""
+    from searchengine_spark.operators.index_build import DEFAULT_STOPWORDS
+
+    stop = DEFAULT_STOPWORDS if stopwords is None else stopwords
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        aid = 0  # task-scoped: stays unique across ALL batches of the task
+        for pdf in batches:
+            dsts: list[str] = []
+            terms: list[list[str]] = []
+            anchor_ids: list[int] = []
+            for u, h in zip(pdf["url"], pdf["html"]):
+                html = (
+                    h.decode("utf-8", errors="replace")
+                    if isinstance(h, (bytes, bytearray))
+                    else (h or "")
+                )
+                for dst, text in extract_anchor_texts(u, html):
+                    dsts.append(dst)
+                    terms.append(textproc.tokenize_filtered(text, stop))
+                    anchor_ids.append(aid)
+                    aid += 1
+            yield pd.DataFrame(
+                {"dst_url": dsts, "terms": terms, "_aid": anchor_ids}
+            )
+
+    # _aid is unique only within a task; pair it with the Spark partition
+    # id so distinct-anchor counting stays exact across the whole corpus
+    exploded = (
+        pages.mapInPandas(
+            run, "dst_url string, terms array<string>, _aid long"
+        )
+        .withColumn(
+            "_gaid",
+            F.spark_partition_id().cast("long") * F.lit(2**40) + F.col("_aid"),
+        )
+        .select("dst_url", "_gaid", F.explode("terms").alias("term"))
+    )
+    return exploded.groupBy("dst_url", "term").agg(
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.countDistinct("_gaid").cast("long").alias("n_anchors"),
     )
 
 

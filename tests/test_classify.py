@@ -240,3 +240,152 @@ def test_content_type_filter_sniffs_when_header_absent(spark):
 def test_content_type_filter_keeps_whole_generated_corpus(spark):
     pages = spark.createDataFrame(webgen.generate_pandas(40))
     assert classify.filter_html_pages(pages).count() == 40
+
+
+# ---------------------------------------------------------------- anchor text
+
+
+ANCHOR_CASES = [
+    # (base_url, html, expected [(dst, text)])
+    (
+        "https://example.com/a/b",
+        '<p><a href="/x/y">go <b>deep</b></a></p>',
+        [("https://example.com/x/y", "go deep")],
+    ),
+    (
+        "https://example.com/",
+        "<a href='https://other.org/p?q=1#frag'>Caf&eacute; &amp; more</a>",
+        [("https://other.org/p?q=1", "Café & more")],
+    ),
+    (
+        "https://example.com/",
+        '<a class="z" href="img.png" title="t"><img src="i"></a>',
+        [("https://example.com/img.png", "")],  # empty anchor kept
+    ),
+    (
+        "https://example.com/",
+        '<a href="mailto:x@y.z">mail</a><a href="javascript:f()">js</a>',
+        [],  # non-web schemes skipped
+    ),
+    (
+        "https://example.com/",
+        '<a href="/unclosed">never closed <p>text',
+        [],  # unclosed anchor yields no match (signal extractor contract)
+    ),
+    (
+        "https://example.com/",
+        '<A HREF="/up">Shout</A\n>',
+        [("https://example.com/up", "Shout")],  # case + slack before >
+    ),
+]
+
+
+@pytest.mark.parametrize("case", range(len(ANCHOR_CASES)))
+def test_extract_anchor_texts_cases(case):
+    url, html, want = ANCHOR_CASES[case]
+    assert classify.extract_anchor_texts(url, html) == want
+
+
+def test_anchor_texts_resolution_matches_extract_links():
+    # every anchor target must resolve exactly like F5 extract_links
+    # (shared _resolve_href); links without well-formed close tags are the
+    # only legal difference
+    html = (
+        '<a href="/a">one</a> <a href="https://x.org/b?k=v#f">two</a> '
+        '<a href="rel/c">three</a>'
+    )
+    url = "https://example.com/base/page"
+    from_links = classify.extract_links(url, html)
+    from_anchors = [d for d, _ in classify.extract_anchor_texts(url, html)]
+    assert from_anchors == from_links
+
+
+def _anchor_reference(rows, stop):
+    """Pure-Python twin of anchor_term_counts over collected pages."""
+    from searchengine_spark.functions import textproc
+
+    occ: dict[tuple[str, str], int] = {}
+    anch: dict[tuple[str, str], set[int]] = {}
+    aid = 0
+    for r in rows:
+        html = r["html"]
+        if isinstance(html, (bytes, bytearray)):
+            html = html.decode("utf-8", errors="replace")
+        for dst, text in classify.extract_anchor_texts(r["url"], html or ""):
+            for t in textproc.tokenize_filtered(text, stop):
+                occ[(dst, t)] = occ.get((dst, t), 0) + 1
+                anch.setdefault((dst, t), set()).add(aid)
+            aid += 1
+    return occ, {k: len(v) for k, v in anch.items()}
+
+
+def test_anchor_term_counts_end_to_end(spark):
+    from searchengine_spark.operators.index_build import DEFAULT_STOPWORDS
+
+    pdf = webgen.generate_pandas(80)
+    pages = spark.createDataFrame(pdf)
+    got = {
+        (r["dst_url"], r["term"]): (r["n_occurrences"], r["n_anchors"])
+        for r in classify.anchor_term_counts(pages).collect()
+    }
+    assert got, "webgen corpus must yield anchor terms"
+    occ, anch = _anchor_reference(pdf.to_dict("records"), DEFAULT_STOPWORDS)
+    assert set(got) == set(occ)
+    for k in occ:
+        assert got[k] == (occ[k], anch[k]), (k, got[k], occ[k], anch[k])
+
+
+def test_anchor_distinct_count_survives_multiple_arrow_batches(spark):
+    # 12k single-anchor pages in ONE partition forces >1 Arrow batch per
+    # task (maxRecordsPerBatch=10000); the per-anchor id must stay unique
+    # across batches or n_anchors collapses to the batch count
+    n = 12000
+    rows = [
+        (f"https://s.com/p{i}", f'<a href="https://hub.com/">alphaterm</a>')
+        for i in range(n)
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, html string"
+    ).repartition(1)
+    out = classify.anchor_term_counts(pages).collect()
+    by_term = {(r["dst_url"], r["term"]): r for r in out}
+    row = by_term[("https://hub.com/", "alphaterm")]
+    assert row["n_occurrences"] == n
+    assert row["n_anchors"] == n
+
+
+def test_cli_linkrank(spark, tmp_path):
+    """CLI surface: `linkrank --anchors` writes pagerank + anchor-term
+    parquet from a pages table, cross-checked against the operators."""
+    from searchengine_spark import cli
+    from searchengine_spark.plans import graph
+
+    pages_dir = tmp_path / "pages"
+    webgen.generate_spark(spark, 60, partitions=2).write.parquet(
+        str(pages_dir)
+    )
+    out = tmp_path / "lr"
+    assert cli.main([
+        "linkrank", "--input", str(pages_dir), "--out", str(out),
+        "--iterations", "3", "--anchors", "--partitions", "4",
+    ]) == 0
+    pr = spark.read.parquet(str(out / "pagerank"))
+    assert pr.columns == ["url", "pr"]
+    assert pr.count() == 60
+    assert abs(pr.agg(F.sum("pr")).collect()[0][0] - 1.0) < 1e-9
+    # matches the operator run directly (bucketed vs plain paths agree)
+    pages = spark.read.parquet(str(pages_dir))
+    want = {
+        r["node"]: r["pr"]
+        for r in graph.pagerank(
+            classify.outlinks(pages), src="src_url", dst="out_url",
+            nodes=pages.select("url"), iterations=3,
+        ).collect()
+    }
+    for r in pr.collect():
+        assert abs(r["pr"] - want[r["url"]]) < 1e-12
+    anchors = spark.read.parquet(str(out / "anchor_terms"))
+    assert set(anchors.columns) == {
+        "dst_url", "term", "n_occurrences", "n_anchors"
+    }
+    assert anchors.count() > 0

@@ -244,3 +244,61 @@ def test_pagerank_real_link_graph_end_to_end(spark):
     for v in want:
         assert abs(got[v] - want[v]) < 1e-12
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_bucketed_matches_reference_loop(spark):
+    edges = PR_CASES["cycle_with_dangling"]
+    universe = sorted({x for e in edges for x in e})
+    nodes = spark.createDataFrame([(v,) for v in universe], "node long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["pr"]
+        for r in graph.pagerank(
+            e, nodes=nodes, iterations=5,
+            bucket_table="_test_pr_bucket", n_buckets=4,
+        ).collect()
+    }
+    want = _pr_reference(edges, universe)
+    for v in universe:
+        assert abs(got[v] - want[v]) < 1e-12
+    # operator drops its bucketed table on exit
+    assert not spark.catalog.tableExists("_test_pr_bucket")
+
+
+def test_pagerank_bucketed_join_has_no_edge_exchange(spark):
+    """The reason bucket_table exists: the per-iteration contribution
+    join must scan the bucketed edge table WITHOUT an Exchange on the
+    edge side (a checkpointed frame loses partitioning for Catalyst and
+    re-shuffles all edges every round)."""
+    from pyspark.sql import functions as F
+
+    ew = spark.range(5000).select(
+        (F.col("id") % 101).alias("u"),
+        (F.col("id") % 97).alias("v"),
+        F.lit(2).alias("deg"),
+    )
+    bucketed = graph._pr_bucketize(ew, "_test_pr_bucket_plan", 4)
+    try:
+        # a rank frame too big to broadcast, so the join must co-locate
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ranks = spark.range(101).select(
+            F.col("id").alias("node"), F.lit(0.01).alias("pr")
+        )
+        plan = (
+            graph._pr_contribs(bucketed, ranks)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS _test_pr_bucket_plan")
+    assert "Bucketed: true" in plan
+    # exactly the dst-agg exchange and the ranks-side exchange may appear;
+    # the bucketed scan itself must not sit under an Exchange. Walk the
+    # plan: no Exchange line may have the bucketed FileScan beneath it
+    # before another exchange-consuming operator — cheap proxy: the scan
+    # line itself advertises its buckets were USED for the join
+    assert "SelectedBucketsCount" in plan
+    import re as _re
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) <= 2
