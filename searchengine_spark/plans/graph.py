@@ -300,6 +300,12 @@ def _pr_bucketize(
     bytes never move again. This is the standard Spark co-location move
     for iterative joins; the caller owns the table name, the operator
     drops it on exit."""
+    # the name is interpolated into SQL (DROP/saveAsTable) — fail loudly
+    # on anything but a plain [db.]identifier rather than risk injection
+    import re as _re
+
+    if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)?", table):
+        raise ValueError(f"bucket_table must be a plain identifier, got {table!r}")
     spark = ew.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     (

@@ -302,3 +302,9 @@ def test_pagerank_bucketed_join_has_no_edge_exchange(spark):
     assert "SelectedBucketsCount" in plan
     import re as _re
     assert len(_re.findall(r"Exchange hashpartitioning", plan)) <= 2
+
+
+def test_pagerank_bucket_table_name_guard(spark):
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="identifier"):
+        graph.pagerank(e, iterations=1, bucket_table="x; DROP TABLE y")
