@@ -1464,36 +1464,63 @@ PR_ITERATIONS = 5
 PR_DAMPING = 0.85
 
 
+def _pr_synthetic_edges(docs: DataFrame, n: int) -> DataFrame:
+    """The deterministic 3-arm link graph both pagerank rows share: per
+    doc ``d`` out-arms ``(31d+7) % N``, ``(17d+3) % N``, ``(d+1) % N``
+    (pure integer arithmetic — bit-identical in DuckDB), docs with
+    ``d % 17 == 0`` stripped of out-links (live dangling nodes). Dedup and
+    self-loop drop happen inside the operator."""
+    d = F.col("doc_id")
+    return docs.filter(d % 17 != 0).select(
+        d.alias("src"),
+        F.explode(
+            F.array(
+                ((d * 31 + 7) % n).cast("long"),
+                ((d * 17 + 3) % n).cast("long"),
+                ((d + 1) % n).cast("long"),
+            )
+        ).alias("dst"),
+    )
+
+
 def q_pagerank(spark, sf_dir) -> DataFrame:
-    """Fixed-iteration damped PageRank (plans/graph.py:pagerank) over a
-    deterministic synthetic link graph on ``documents``: per doc ``d`` the
-    out-arms are ``(31d+7) % N``, ``(17d+3) % N``, ``(d+1) % N`` (distinct,
-    self-loops dropped), and docs with ``d % 17 == 0`` keep NO out-links —
-    live dangling nodes. 5 iterations at damping 0.85; rank mass sums to
-    exactly 1 by the stochastic completion. Scale shape documented on the
-    operator: per round one src-keyed hash join + one dst-keyed map-side-
-    combined agg + a scalar dangling aggregate; head-term skew lands on
-    the aggregation key only."""
+    """Fixed-iteration damped PageRank (plans/graph.py:pagerank) over the
+    deterministic synthetic link graph of ``_pr_synthetic_edges``.
+    5 iterations at damping 0.85; rank mass sums to exactly 1 by the
+    stochastic completion. Scale shape documented on the operator: per
+    round one src-keyed hash join + one dst-keyed map-side-combined agg +
+    an in-plan broadcast dangling aggregate; head-term skew lands on the
+    aggregation key only."""
     from searchengine_spark.plans import graph
 
     docs = _documents(spark, sf_dir).select("doc_id")
     n = docs.count()
-    d = F.col("doc_id")
-    edges = (
-        docs.filter(d % 17 != 0)
-        .select(
-            d.alias("src"),
-            F.explode(
-                F.array(
-                    ((d * 31 + 7) % n).cast("long"),
-                    ((d * 17 + 3) % n).cast("long"),
-                    ((d + 1) % n).cast("long"),
-                )
-            ).alias("dst"),
-        )
-    )
     pr = graph.pagerank(
-        edges, nodes=docs, iterations=PR_ITERATIONS, damping=PR_DAMPING
+        _pr_synthetic_edges(docs, n),
+        nodes=docs, iterations=PR_ITERATIONS, damping=PR_DAMPING,
+    )
+    return pr.select(
+        F.col("node").alias("doc_id"), F.round("pr", 8).alias("pr")
+    )
+
+
+def q_pagerank_bucketed(spark, sf_dir) -> DataFrame:
+    """The SAME contract as q_pagerank, FORCING the bucketed edge-table
+    path (plans/graph.py:_pr_bucketize) — on the plain path the driver's
+    gate would never execute the bucketed kernel (it is an opt-in for
+    big graphs), so this row pins exchange-free-edge-scan execution under
+    the DuckDB hash gate, exactly as wand_subsplit_topk does for the
+    phase-1 sub-split. Exact results are contractually identical to the
+    plain path (same summation semantics, different partial-agg order —
+    absorbed by the shared ROUND(pr, 8)), so the twin IS SQL_PAGERANK."""
+    from searchengine_spark.plans import graph
+
+    docs = _documents(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    pr = graph.pagerank(
+        _pr_synthetic_edges(docs, n),
+        nodes=docs, iterations=PR_ITERATIONS, damping=PR_DAMPING,
+        bucket_table="_oracle_pagerank_edges", n_buckets=8,
     )
     return pr.select(
         F.col("node").alias("doc_id"), F.round("pr", 8).alias("pr")
@@ -2771,6 +2798,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_materialize": q_dedup_materialize,
     "pagerank": q_pagerank,
+    "pagerank_bucketed": q_pagerank_bucketed,
     "ann_ivf_probe": q_ann_ivf_probe,
     "ann_pq": q_ann_pq,
     "ann_ivfpq": q_ann_ivfpq,
@@ -2823,6 +2851,9 @@ ORACLE_SQL = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_materialize": SQL_DEDUP_MATERIALIZE,
     "pagerank": SQL_PAGERANK,
+    # forced-bucketed path: exact results are contractually identical to
+    # the plain path (see q_pagerank_bucketed), so the twin IS SQL_PAGERANK
+    "pagerank_bucketed": SQL_PAGERANK,
     "ann_ivf_probe": SQL_ANN_IVF_PROBE,
     "ann_pq": SQL_ANN_PQ,
     "ann_ivfpq": SQL_ANN_IVFPQ,
