@@ -224,8 +224,17 @@ def cmd_linkrank(args) -> int:
 
     spark = _spark(args)
     pages = _read_pages(spark, args)
+    edges = classify.outlinks(pages)
+    weight = None
+    if args.weighted:
+        # weighted PageRank by LINK MULTIPLICITY: outlinks emits one row
+        # per href occurrence, so the count per (src, dst) is the weight
+        edges = edges.groupBy("src_url", "out_url").agg(
+            F.count("*").cast("double").alias("w")
+        )
+        weight = "w"
     pr = graph.pagerank(
-        classify.outlinks(pages),
+        edges,
         src="src_url",
         dst="out_url",
         nodes=pages.select("url"),
@@ -233,6 +242,7 @@ def cmd_linkrank(args) -> int:
         damping=args.damping,
         bucket_table="_cli_linkrank_edges",
         n_buckets=args.partitions,
+        weight=weight,
     ).select(F.col("node").alias("url"), "pr")
     pr.write.mode("overwrite").parquet(f"{args.out}/pagerank")
     out = {"pagerank_rows": spark.read.parquet(f"{args.out}/pagerank").count()}
@@ -353,6 +363,8 @@ def main(argv: list[str] | None = None) -> int:
     lr.add_argument("--partitions", type=int, default=32)
     lr.add_argument("--anchors", action="store_true",
                     help="also write (dst_url, term) anchor-text aggregation")
+    lr.add_argument("--weighted", action="store_true",
+                    help="weight edges by link multiplicity (weighted PageRank)")
     lr.set_defaults(fn=cmd_linkrank)
 
     v = sub.add_parser("verify", help="index artifact integrity check")

@@ -276,13 +276,21 @@ def connected_components(
 
 def _pr_contribs(ew: DataFrame, ranks: DataFrame) -> DataFrame:
     """One PageRank iteration's contribution aggregation: src-keyed hash
-    join of the rank frame against the (u, v, deg) edge frame, then a
-    dst-keyed map-side-combined hash agg. Factored out so the bucketed
-    path's no-edge-exchange plan is directly assertable in tests."""
+    join of the rank frame against the (u, v[, w], deg) edge frame, then
+    a dst-keyed map-side-combined hash agg. Factored out so the bucketed
+    path's no-edge-exchange plan is directly assertable in tests. The
+    weighted form multiplies by the edge weight (deg is then the src's
+    total out-weight); the unweighted frame carries no ``w`` column and
+    keeps the exact original expression."""
+    share = (
+        F.col("pr") * F.col("w") / F.col("deg")
+        if "w" in ew.columns
+        else F.col("pr") / F.col("deg")
+    )
     return (
         ew.join(ranks.withColumnRenamed("node", "u"), "u")
         .groupBy(F.col("v").alias("node"))
-        .agg(F.sum(F.col("pr") / F.col("deg")).alias("c"))
+        .agg(F.sum(share).alias("c"))
     )
 
 
@@ -328,6 +336,7 @@ def pagerank(
     stats: dict | None = None,
     bucket_table: str | None = None,
     n_buckets: int | None = None,
+    weight: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed link graph — the classic
     web-scale link-authority score (Page et al. 1999) over the graph that
@@ -353,6 +362,13 @@ def pagerank(
       where ``dangling_t`` is the total rank mass sitting on zero-out-
       degree nodes that round (redistributed uniformly, the standard
       stochastic-matrix completion — total mass stays exactly 1).
+
+    ``weight``: optional edge-weight column — contributions become
+    ``r_t(u) · w(u,v) / W(u)`` with ``W(u)`` the total out-weight
+    (weighted PageRank, e.g. link multiplicity or anchor-term counts as
+    weights). Duplicate ``(u, v)`` rows SUM their weights; a NULL or
+    non-positive weight fails per-row, loudly. ``weight=None`` keeps the
+    exact unweighted expressions (w(u,v)=1, W=out-degree).
 
     Returns ``(node, pr)``, one row per universe node, ``pr`` a double.
 
@@ -381,11 +397,41 @@ def pagerank(
         raise ValueError(f"iterations must be >= 0, got {iterations}")
     if not (0.0 <= damping <= 1.0):
         raise ValueError(f"damping must be in [0, 1], got {damping}")
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    if weight is None:
+        e = (
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+    else:
+        # weighted graph: duplicate (u, v) rows SUM their weights (link
+        # multiplicity composes additively); a NULL / non-positive weight
+        # is a caller bug that would silently skew every downstream rank —
+        # fail per-row, loudly, on both. ``deg`` becomes total out-weight.
+        wc = F.col(weight).cast("double")
+        e = (
+            edges.select(
+                F.col(src).alias("u"),
+                F.col(dst).alias("v"),
+                F.when(
+                    wc.isNull() | (wc <= 0.0),
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                f"pagerank: weight column {weight!r} must "
+                                "be positive and non-NULL, got "
+                            ),
+                            F.coalesce(wc.cast("string"), F.lit("NULL")),
+                        )
+                    ).cast("double"),
+                )
+                .otherwise(wc)
+                .alias("w"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .groupBy("u", "v")
+            .agg(F.sum("w").alias("w"))
+        )
     if nodes is not None:
         universe = nodes.select(
             F.col(nodes.columns[0]).alias("node")
@@ -409,7 +455,9 @@ def pagerank(
     # everything below (deg, the ew join, the dangling anti-join) reads
     # this materialized copy, same discipline as connected_components
     e = e.localCheckpoint(eager=True)
-    deg = e.groupBy("u").agg(F.count("*").alias("deg"))
+    deg = e.groupBy("u").agg(
+        (F.count("*") if weight is None else F.sum("w")).alias("deg")
+    )
     # one materialized (u, v, deg) frame — the loop's only big operand.
     # ``bucket_table`` trades a one-time bucketed write for exchange-free
     # edge scans in EVERY iteration (see _pr_bucketize) — the right call

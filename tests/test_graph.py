@@ -308,3 +308,84 @@ def test_pagerank_bucket_table_name_guard(spark):
     e = spark.createDataFrame([(0, 1)], "src long, dst long")
     with pytest.raises(ValueError, match="identifier"):
         graph.pagerank(e, iterations=1, bucket_table="x; DROP TABLE y")
+
+
+def _pr_weighted_reference(wedges, universe, iterations=5, d=0.85):
+    """Pure-Python weighted PageRank loop (duplicate edges sum weights)."""
+    agg = {}
+    for u, v, w in wedges:
+        if u != v and u in universe and v in universe:
+            agg[(u, v)] = agg.get((u, v), 0.0) + w
+    W = {}
+    for (u, _), w in agg.items():
+        W[u] = W.get(u, 0.0) + w
+    n = len(universe)
+    r = {x: 1.0 / n for x in universe}
+    for _ in range(iterations):
+        dang = sum(r[x] for x in universe if x not in W)
+        new = {x: (1 - d) / n + d * (dang / n) for x in universe}
+        for (u, v), w in agg.items():
+            new[v] += d * r[u] * w / W[u]
+        r = new
+    return r
+
+
+def test_pagerank_weighted_matches_reference_loop(spark):
+    wedges = [
+        (0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.5), (2, 0, 1.0),
+        (1, 3, 0.5), (0, 1, 1.0),  # duplicate (0,1): weights sum to 4.0
+    ]
+    universe = [0, 1, 2, 3, 9]  # 9 isolated, 3 dangling
+    nodes = spark.createDataFrame([(v,) for v in universe], "node long")
+    e = spark.createDataFrame(wedges, "src long, dst long, w double")
+    got = {
+        r["node"]: r["pr"]
+        for r in graph.pagerank(
+            e, nodes=nodes, iterations=5, weight="w"
+        ).collect()
+    }
+    want = _pr_weighted_reference(wedges, universe)
+    for v in universe:
+        assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_weight_one_equals_unweighted(spark):
+    edges = PR_CASES["cycle_with_dangling"]
+    e = spark.createDataFrame(edges, "src long, dst long").withColumn(
+        "w", F.lit(1.0)
+    )
+    plain = {r["node"]: r["pr"]
+             for r in graph.pagerank(e, iterations=4).collect()}
+    weighted = {r["node"]: r["pr"]
+                for r in graph.pagerank(e, iterations=4, weight="w").collect()}
+    for v in plain:
+        assert abs(plain[v] - weighted[v]) < 1e-15
+
+
+def test_pagerank_weighted_bucketed(spark):
+    wedges = [(0, 1, 2.0), (1, 2, 1.0), (2, 0, 4.0), (0, 2, 1.0)]
+    universe = [0, 1, 2]
+    nodes = spark.createDataFrame([(v,) for v in universe], "node long")
+    e = spark.createDataFrame(wedges, "src long, dst long, w double")
+    got = {
+        r["node"]: r["pr"]
+        for r in graph.pagerank(
+            e, nodes=nodes, iterations=4, weight="w",
+            bucket_table="_test_pr_wbucket", n_buckets=2,
+        ).collect()
+    }
+    want = _pr_weighted_reference(wedges, universe, iterations=4)
+    for v in universe:
+        assert abs(got[v] - want[v]) < 1e-12
+    assert not spark.catalog.tableExists("_test_pr_wbucket")
+
+
+def test_pagerank_bad_weight_fails_loudly(spark):
+    nodes = spark.createDataFrame([(0,), (1,)], "node long")
+    for bad in (0.0, -1.0, None):
+        e = spark.createDataFrame(
+            [(0, 1, bad)], "src long, dst long, w double"
+        )
+        with pytest.raises(Exception, match="must be positive"):
+            graph.pagerank(e, nodes=nodes, iterations=1, weight="w").collect()
