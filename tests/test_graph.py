@@ -389,3 +389,14 @@ def test_pagerank_bad_weight_fails_loudly(spark):
         )
         with pytest.raises(Exception, match="must be positive"):
             graph.pagerank(e, nodes=nodes, iterations=1, weight="w").collect()
+
+
+def test_pagerank_stats_observability(spark):
+    e = spark.createDataFrame(PR_CASES["cycle_with_dangling"], "src long, dst long")
+    stats = {}
+    got = {r["node"]: r["pr"]
+           for r in graph.pagerank(e, iterations=3, stats=stats).collect()}
+    assert stats["rounds"] == 3
+    # dangling_mass is the FINAL frame's mass on zero-out-degree nodes
+    # (node 3 is the only dangling node in this graph)
+    assert abs(stats["dangling_mass"] - got[3]) < 1e-12
